@@ -1,0 +1,124 @@
+"""Key-partitioned MERGE with last-writer-wins dedup — the engine core.
+
+Re-expresses the reference's upsert family as Spark dataflow:
+
+- ``INSERT … ON CONFLICT DO UPDATE`` (postgres/postgres.py:551-565)
+  → union + window row_number keep-1 over the merge keys.
+- per-row AGO lookup-then-route upsert (ago/ago.py:1011-1313, 2+ HTTP
+  round-trips per row) → one shuffle join over the whole batch.
+- duplicate-PK repair "keep first, delete second" (ago/ago.py:1070-1078)
+  → the same window, ordered by the LWW columns.
+- ``DELETE … USING (… EXCEPT …)`` delete-stale (postgres/postgres.py:450-495)
+  → left_anti join.
+
+Scale notes (the part that matters at 100 TB):
+- The merge shuffles only *touched* buckets of the target plus the
+  (already LWW-deduped, hence small) batch — cost is O(touched data),
+  not O(table).
+- Hot conversations are salted before the write repartition: tasks are
+  keyed by (bucket, salt) so one hot conv_id spreads over ``n_salt``
+  writers while the file layout stays strictly per-bucket.
+- AQE skew-join splitting stays on as the backstop for the join/window
+  shuffles themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DELETED_COL = "_deleted"
+
+
+def bucket_expr(key_col: str | Column, n_buckets: int) -> Column:
+    """Deterministic key→bucket assignment: pmod(xxhash64(key), n).
+
+    xxhash64 is JVM-side and seed-stable, so bucket assignment is
+    reproducible across sessions/clusters — a requirement for the
+    manifest's bucket→files index to stay valid.
+    """
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+
+def salt_expr(n_salt: int, *cols: str) -> Column:
+    """Salt within a bucket to spread a hot key over n_salt write tasks."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt)).cast("int")
+
+
+def lww_rank(keys: list[str], order_cols: list[str]) -> Column:
+    """row_number() over keys, newest-writer-first on order_cols then a
+    total tiebreak — rank 1 is the surviving row."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order_cols])
+    return F.row_number().over(w)
+
+
+def dedup_last_writer(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep exactly one row per key: the last writer by order_cols.
+
+    Reference semantics: AGO dup-PK repair (ago/ago.py:1070-1078) and
+    the "doubled up" retry reconciliation (ago/ago.py:786-822), done
+    set-wise in one shuffle.
+    """
+    return (
+        df.withColumn("_rn", lww_rank(keys, order_cols))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_lww(
+    target: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Merge a change batch into target rows; both sides carry
+    ``_deleted`` and the order columns. Returns the merged rows
+    (tombstones included — caller filters/GCs).
+
+    union + keep-last-writer is correct for every case the reference
+    handles plus the ones it can't:
+    - plain upsert: newer batch row wins over target row
+    - out-of-order update: older-ts batch row LOSES to existing row
+    - delete-then-late-update: tombstone retains (ts, lsn) so a late
+      lower-ts update still loses (impossible to get right without
+      tombstones; the reference's DELETE is destructive and silently
+      resurrects — we keep the stronger semantics)
+    - replayed duplicate events: identical key+order rows collapse to 1
+    """
+    cols = target.columns
+    return dedup_last_writer(
+        target.select(*cols).unionByName(batch.select(*cols)), keys, order_cols
+    )
+
+
+def upsert_only(
+    target: DataFrame, batch: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Blind upsert (batch always wins) — the exact ON CONFLICT DO
+    UPDATE semantics of postgres/postgres.py:551-565 where staging
+    unconditionally overwrites. anti-join + union: one shuffle, batch
+    side broadcast when small (AQE decides)."""
+    return target.join(batch, on=keys, how="left_anti").unionByName(batch)
+
+
+def delete_stale(
+    target: DataFrame, staging: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Keep only target rows whose key still exists in staging —
+    the reference's DELETE…USING(prod EXCEPT staging) post-upsert pass
+    (postgres/postgres.py:450-495). left_semi join = one shuffle."""
+    return target.join(staging.select(*keys), on=keys, how="left_semi")
+
+
+def route_changes(batch: DataFrame, target_keys: DataFrame, keys: list[str]) -> DataFrame:
+    """Classify each change as insert vs update against current target
+    keys — the set-wise replacement for the AGO per-row point query
+    (ago/ago.py:1064-1100). Adds an ``_action`` column."""
+    # target side is the big one — no broadcast hint; AQE picks the
+    # strategy (broadcasts the batch side when it is small).
+    marked = target_keys.select(*keys).withColumn("_exists", F.lit(True))
+    return batch.join(marked, on=keys, how="left").withColumn(
+        "_action", F.when(F.col("_exists").isNotNull(), F.lit("update")).otherwise(F.lit("insert"))
+    ).drop("_exists")

@@ -1,0 +1,223 @@
+"""End-to-end lake-table merge semantics.
+
+Mirrors the reference's invariance pattern (extract → upsert back →
+recorddiff == 0/0, tests/test_postgres.py:69-86) as final-state
+equality via exceptAll both ways, and extends it with the CDC
+scenarios from FIXTURES.md §2: idempotent replay, out-of-order LWW,
+deletes + late updates, duplicate delivery, schema evolution,
+crash-resume.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from cityofphiladelphia_databridge_etl_tools_spark import changegen
+from cityofphiladelphia_databridge_etl_tools_spark.lake import LakeTable
+from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
+
+
+def assert_df_equal(a, b):
+    """Reference oracle A5: recorddiff added==0 and subtracted==0."""
+    b = b.select(*a.columns)  # exceptAll is positional — align by name
+    assert a.exceptAll(b).count() == 0, "rows only in engine result"
+    assert b.exceptAll(a).count() == 0, "rows only in oracle result"
+
+
+def make_table(spark, tmp_path, n_buckets=8):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "transcripts"),
+        TRANSCRIPT_SCHEMA,
+        key_columns=["conv_id", "turn_idx"],
+        order_columns=["ts", "lsn"],
+        n_buckets=n_buckets,
+    )
+
+
+def test_single_batch_matches_oracle(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    stream = changegen.changes(spark, 2000, seed=1)
+    rec = t.merge_batch(stream, "b1")
+    assert rec is not None and rec.rows_in == 2000
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+
+
+def test_multi_batch_replay_equals_reference(spark, tmp_path):
+    """Split one stream into 4 lsn-window batches; applying them in
+    order must equal one-shot replay of the whole stream."""
+    t = make_table(spark, tmp_path)
+    full = changegen.changes(spark, 4000, seed=2)
+    for k in range(4):
+        batch = full.filter((F.col("lsn") >= k * 1000) & (F.col("lsn") < (k + 1) * 1000))
+        t.merge_batch(batch, f"b{k}")
+    assert_df_equal(t.read(), changegen.expected_final_state(full))
+    # lineage: commit log recorded all four batches with lsn ranges
+    m = t.manifest
+    assert [c.batch_id for c in m.commits] == ["b0", "b1", "b2", "b3"]
+    assert m.commits[2].lsn_lo >= 2000 and m.commits[2].lsn_hi < 3000
+
+
+def test_idempotent_batch_replay(spark, tmp_path):
+    """Re-delivering a committed batch_id is a no-op (exactly-once;
+    ref: SCN RUNNING→FINISHED watermark, db2/db2.py:596-655)."""
+    t = make_table(spark, tmp_path)
+    stream = changegen.changes(spark, 1000, seed=3)
+    assert t.merge_batch(stream, "b1") is not None
+    v = t.manifest.version
+    assert t.merge_batch(stream, "b1") is None  # replay ignored
+    assert t.manifest.version == v
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+
+
+def test_duplicate_events_within_batch(spark, tmp_path):
+    """Same-lsn duplicate delivery collapses (at-least-once → effective
+    exactly-once; ref: ago/ago.py:786-822 doubled-up reconciliation)."""
+    t = make_table(spark, tmp_path)
+    stream = changegen.changes(spark, 1000, seed=4)
+    dup = changegen.with_duplicates(stream, every_n=5)
+    t.merge_batch(dup, "b1")
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+
+
+def test_out_of_order_ts_lww(spark, tmp_path):
+    """A later-lsn batch carrying an OLDER ts for a key must lose."""
+    t = make_table(spark, tmp_path)
+    rows = [
+        ("c1", 0, "user", "v-new", None, "2024-01-01 10:00:00", 1, "I"),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts string, lsn long, op string"
+    b1 = spark.createDataFrame(rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.merge_batch(b1, "b1")
+    late = spark.createDataFrame(
+        [("c1", 0, "user", "v-stale", None, "2024-01-01 09:00:00", 2, "U")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.merge_batch(late, "b2")
+    out = t.read().collect()
+    assert len(out) == 1 and out[0]["text"] == "v-new"
+
+
+def test_delete_then_late_update_stays_deleted(spark, tmp_path):
+    """Tombstone retains (ts,lsn): an update older than the delete must
+    NOT resurrect the row — stronger than the reference's destructive
+    DELETE."""
+    t = make_table(spark, tmp_path)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts string, lsn long, op string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    t.merge_batch(df([("c1", 0, "user", "hello", None, "2024-01-01 10:00:00", 1, "I")]), "b1")
+    t.merge_batch(df([("c1", 0, None, None, None, "2024-01-01 12:00:00", 2, "D")]), "b2")
+    t.merge_batch(df([("c1", 0, "user", "late", None, "2024-01-01 11:00:00", 3, "U")]), "b3")
+    assert t.read().count() == 0
+    # ...but a genuinely newer update does resurrect
+    t.merge_batch(df([("c1", 0, "user", "reborn", None, "2024-01-01 13:00:00", 4, "U")]), "b4")
+    out = t.read().collect()
+    assert len(out) == 1 and out[0]["text"] == "reborn"
+
+
+def test_schema_evolution_add_column_and_widening(spark, tmp_path):
+    """Batches without `tool` first, then with it; plus int→long
+    widening on turn_idx-like column (ref: newcol tolerance,
+    tests/test_postgres.py:33; mapping dicts postgres.py:203-228)."""
+    narrow = T.StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), narrow,
+        key_columns=["conv_id", "turn_idx"], order_columns=["ts", "lsn"], n_buckets=4,
+    )
+    pre = changegen.changes(spark, 500, seed=5, with_tool_col=False)
+    t.merge_batch(pre, "b1")
+    assert "tool" not in t.read().columns
+
+    post = changegen.changes(spark, 500, seed=5, with_tool_col=True, lsn_start=500)
+    t.merge_batch(post, "b2")
+    got = t.read()
+    assert "tool" in got.columns
+    # old rows surface null tool; full state equals the LWW replay of both
+    full = pre.withColumn("tool", F.lit(None).cast("string")).select(*post.columns).unionByName(post)
+    assert_df_equal(got.select(*full.drop("op").columns), changegen.expected_final_state(full))
+
+
+def test_schema_widening_int_to_long(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         key_columns=["conv_id", "turn_idx"], order_columns=["ts", "lsn"], n_buckets=2)
+    mk = "conv_id string, turn_idx int, n int, ts timestamp, lsn long, op string"
+    b1 = spark.createDataFrame([("c", 0, 5, None, 1, "I")], mk)
+    t.merge_batch(b1, "b1")
+    wide = "conv_id string, turn_idx int, n long, ts timestamp, lsn long, op string"
+    b2 = spark.createDataFrame([("c", 1, 2**40, None, 2, "I")], wide)
+    t.merge_batch(b2, "b2")
+    got = t.read()
+    assert dict(got.dtypes)["n"] == "bigint"
+    assert {r["n"] for r in got.collect()} == {5, 2**40}
+
+
+def test_crash_resume_reconverges(spark, tmp_path):
+    """Crash between file write and pointer flip leaves orphan files;
+    replaying the batch converges to the same state (ref rollback:
+    oracle/oracle.py:401-406)."""
+    t = make_table(spark, tmp_path)
+    stream = changegen.changes(spark, 1000, seed=6)
+    b1 = stream.filter(F.col("lsn") < 500)
+    b2 = stream.filter(F.col("lsn") >= 500)
+    t.merge_batch(b1, "b1")
+
+    # simulate crash: do the heavy work of b2 but never flip CURRENT
+    import os
+    snap = os.path.join(t.store.root, "data/snap-crashed-deadbeef")
+    b2.limit(100).write.parquet(snap)  # orphan files no manifest references
+
+    assert t.manifest.applied_batch_ids == {"b1"}
+    t.merge_batch(b2, "b2")  # the "restart" replays b2
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+
+
+def test_overwrite_full_refresh(spark, tmp_path):
+    """Truncate-and-reload semantics (ref: postgres.py:421-448,
+    carto replace-and-swap carto_.py:471-490) incl. delete-stale."""
+    t = make_table(spark, tmp_path)
+    t.merge_batch(changegen.changes(spark, 1000, seed=7), "b1")
+    fresh = changegen.initial_snapshot(spark, n_convs=20, max_turns=5).drop("op")
+    t.overwrite_full(fresh, "refresh-1")
+    got = t.read()
+    expect = changegen.expected_final_state(fresh.withColumn("op", F.lit("I")))
+    assert_df_equal(got, expect)
+
+
+def test_compact_preserves_state(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    full = changegen.changes(spark, 2000, seed=8)
+    for k in range(4):
+        t.merge_batch(full.filter((F.col("lsn") >= k * 500) & (F.col("lsn") < (k + 1) * 500)), f"b{k}")
+    before = t.read()
+    n_files_before = sum(len(v) for v in t.manifest.bucket_files.values())
+    t.compact()
+    after = t.read()
+    assert_df_equal(before, after)
+    n_files_after = sum(len(v) for v in t.manifest.bucket_files.values())
+    assert n_files_after <= n_files_before
+    # tombstones gone
+    assert t.read(include_deleted=True).filter(F.col("_deleted")).count() == 0
+
+
+def test_per_turn_text_equality(spark, tmp_path):
+    """The input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering vs the oracle replay."""
+    t = make_table(spark, tmp_path)
+    stream = changegen.changes(spark, 3000, seed=9)
+    for k in range(3):
+        t.merge_batch(stream.filter((F.col("lsn") >= k * 1000) & (F.col("lsn") < (k + 1) * 1000)), f"b{k}")
+    mine = [r["text"] for r in t.read().orderBy("conv_id", "turn_idx").select("text").collect()]
+    oracle = [
+        r["text"]
+        for r in changegen.expected_final_state(stream).orderBy("conv_id", "turn_idx").select("text").collect()
+    ]
+    assert mine == oracle
