@@ -1,0 +1,205 @@
+"""Benchmark harness.
+
+Default: runs the headline CDC merge-apply ingest (merge-on-read, 4
+LSN-window microbatches) plus representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+  {"metric": ..., "value": events_per_sec, "unit": "events/sec",
+   "queries": {name: sec}, "sf": ...}
+
+--scaling: runs the identical ingest job at local[8] and local[32] on
+the same input and reports throughput at both plus scaling efficiency
+(the in-sandbox stand-in for the N vs 4N executor criterion), writing
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "cdc_upsert_state",
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "stream_hourly_counts",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def events_for(sf: float) -> int:
+    # 40M events/sf-unit → 4M at sf0.1; floor for tiny sf
+    return max(100_000, int(40_000_000 * max(sf, 0.0)))
+
+
+# Lake tables + shuffle dirs go on tmpfs: a single local disk would
+# serialize the write path, which misrepresents a cluster where
+# storage bandwidth scales with executors (S3 / many local disks).
+_FAST_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def run_ingest(
+    spark, n_events: int, n_batches: int = 4, mode: str = "mor", warmup: bool = True
+) -> dict:
+    """The headline job: deterministic change stream → LakeTable
+    microbatch merges. Returns timing + throughput. A 1/10-size
+    warm-up batch (separate table, discarded) precedes measurement so
+    JIT/codegen/classloading don't pollute the steady-state number."""
+    import pyspark.sql.functions as F
+
+    from cityofphiladelphia_databridge_etl_tools_spark import changegen
+    from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
+    from cityofphiladelphia_databridge_etl_tools_spark.lake import LakeTable
+
+    root = tempfile.mkdtemp(prefix="bench_ingest_", dir=_FAST_DIR)
+    n_convs = max(1000, n_events // 10)
+
+    def slice_(lo: int, n: int):
+        # per-batch generation via lsn_start: O(batch) work — content
+        # is a pure function of the absolute lsn, so slicing is exact
+        return changegen.changes(
+            spark, n, seed=42, n_convs=n_convs, max_turns=50,
+            hot_frac=0.2, n_hot=3, lsn_start=lo,
+        )
+
+    if warmup:
+        w = LakeTable.create(
+            spark, root + "/warm", TRANSCRIPT_SCHEMA,
+            ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=32,
+        )
+        w.merge_batch(slice_(0, n_events // 10), "warm", mode=mode)
+
+    t = LakeTable.create(
+        spark, root + "/t", TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=32,
+    )
+    step = n_events // n_batches
+    t0 = time.time()
+    for k in range(n_batches):
+        t.merge_batch(slice_(k * step, step), f"bench-{k}", n_salt=4, mode=mode)
+    ingest_s = time.time() - t0
+    t1 = time.time()
+    rows = t.read().count()
+    read_s = time.time() - t1
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_events": n_events,
+        "n_batches": n_batches,
+        "mode": mode,
+        "ingest_sec": round(ingest_s, 2),
+        "events_per_sec": round(n_events / ingest_s, 1),
+        "read_resolve_sec": round(read_s, 2),
+        "final_rows": rows,
+    }
+
+
+def make_session(cores: int):
+    from cityofphiladelphia_databridge_etl_tools_spark.session import get_spark, stop_spark
+
+    stop_spark()
+    extra = {}
+    if _FAST_DIR:
+        extra["spark.local.dir"] = f"{_FAST_DIR}/spark-bench-{cores}"
+    return get_spark("bench", cores=cores, shuffle_partitions=2 * cores, extra_conf=extra)
+
+
+def main_default():
+    from cityofphiladelphia_databridge_etl_tools_spark.queries import REGISTRY
+
+    spark = make_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = _sf_of(SF_DIR)
+    ingest = run_ingest(spark, events_for(sf))
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "cdc_merge_apply_throughput",
+        "value": ingest["events_per_sec"],
+        "unit": "events/sec",
+        "queries": qtimes,
+        "sf": sf,
+        "detail": ingest,
+        "cpus": CPUS,
+    }))
+
+
+def main_scaling():
+    sf = _sf_of(SF_DIR)
+    # the scaling criterion needs compute-dominated batches so fixed
+    # per-batch driver costs (identical at both levels) don't mask the
+    # parallel fraction — 2 batches of 16M events each
+    n, n_batches = 32_000_000, 2
+    results = {}
+    for cores in (8, 32):
+        spark = make_session(cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        results[cores] = run_ingest(spark, n, n_batches=n_batches)
+        results[cores]["cores"] = cores
+    thr8, thr32 = results[8]["events_per_sec"], results[32]["events_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    out = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "throughput": {"local[8]": thr8, "local[32]": thr32},
+        "n_events": n,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — scaling evidence ({time.strftime('%Y-%m-%d')})
+
+North rule criterion: throughput scaling efficiency >= 0.8 from N to
+4N parallelism, evidenced in-sandbox by the identical ingest job at
+local[8] vs local[32] on the same deterministic input.
+
+| parallelism | events | ingest sec | events/sec |
+|---|---|---|---|
+| local[8]  | {n:,} | {results[8]['ingest_sec']} | {thr8:,.0f} |
+| local[32] | {n:,} | {results[32]['ingest_sec']} | {thr32:,.0f} |
+
+**Scaling efficiency (8→32 cores): {eff:.3f}** (target >= 0.8)
+
+Job: merge-on-read CDC ingest, {n_batches} LSN-window microbatches,
+32-bucket lake table, LWW dedup on (ts, lsn), salted writes
+(n_salt=4), commit log + per-bucket watermarks. Input: deterministic
+seeded change stream (changegen.changes, seed=42), identical at both
+parallelism levels. Each measurement preceded by a 1/10-size warm-up
+run in the same JVM. Storage = tmpfs (a single local disk would
+serialize the write path; cluster storage bandwidth scales with
+executors).
+""")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_default()

@@ -1,25 +1,38 @@
 """LakeTable: bucketed parquet table with snapshot commits, exactly-once
 batch log, LWW merge, schema evolution, and tombstoned deletes.
 
-The merge dataflow (all Catalyst-planned, zero per-row Python):
+Two merge strategies (both Catalyst-planned, zero per-row Python):
 
-    changes ──(coerce/evolve schema)──► batch
-    batch ──window LWW dedup──► winners          (ref ago.py:1070-1078)
-    winners ──distinct bucket ids──► touched      (bucket pruning: merge
-                                                   cost is O(touched),
-                                                   not O(table))
-    read(touched buckets) ∪ winners ──window LWW──► merged
-    merged ──repartition(bucket, salt)──► parquet snapshot files
-    manifest+pointer flip                        (ref db2.py:548-565)
+copy-on-write (mode="cow") — read touched buckets, union the batch,
+one LWW window, rewrite those buckets. Read-optimal; write cost is
+O(touched table data) per batch.
+
+merge-on-read (mode="mor") — LWW-dedup the batch alone (small window)
+and append it as *delta* files to the touched buckets; readers resolve
+base ∪ deltas with the same LWW window; bucket-scoped compaction folds
+deltas back into base when a bucket accumulates too many. Write cost
+is O(batch) — this is what sustains 10^10-event ingest, and mirrors
+Iceberg/Hudi MOR. Correctness is identical because key→bucket is a
+pure function: every version of a key lands in one bucket, so the
+read-side window sees all of them.
+
+The merge dataflow:
+
+    changes ──(coerce/evolve schema)──► staged
+    staged ──distinct bucket ids──► touched    (bucket pruning: O(touched))
+    cow: read(touched) ∪ staged ──LWW window──► rewrite buckets
+    mor: staged ──LWW window (batch only)──► append delta files
+    manifest+pointer flip                      (ref db2.py:548-565)
 
 Scale behavior: buckets bound the unit of rewrite; hot conversations
 are salted across writers inside a bucket; files are written sorted by
-key so parquet min/max stats support row-group skipping on later point
-reads; AQE handles residual shuffle skew.
+key so parquet min/max stats support row-group skipping; AQE handles
+residual shuffle skew.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -32,13 +45,14 @@ from ..operators.merge import (
     DELETED_COL,
     bucket_expr,
     dedup_last_writer,
-    merge_lww,
+    dedup_last_writer_colocated,
     salt_expr,
 )
 from .manifest import CommitRecord, Manifest, MetaStore, SchemaVersion
 from .schema import coerce_to, evolve_schema
 
 OP_COL = "op"
+BASE, DELTA = "base", "delta"
 
 
 def _with_deleted(schema: T.StructType) -> T.StructType:
@@ -92,11 +106,11 @@ class LakeTable:
 
     def schema(self, manifest: Manifest | None = None) -> T.StructType:
         m = manifest or self.manifest
-        return T.StructType.fromJson(__import__("json").loads(m.current_schema_json))
+        return T.StructType.fromJson(json.loads(m.current_schema_json))
 
     def _schema_at(self, m: Manifest, version: int) -> T.StructType:
         sv = next(s for s in m.schema_versions if s.version == version)
-        return T.StructType.fromJson(__import__("json").loads(sv.schema_json))
+        return T.StructType.fromJson(json.loads(sv.schema_json))
 
     def watermark(self, bucket: int) -> int:
         return self.manifest.watermarks.get(str(bucket), -1)
@@ -108,19 +122,23 @@ class LakeTable:
         include_deleted: bool = False,
         manifest: Manifest | None = None,
     ) -> DataFrame:
-        """Current snapshot as a DataFrame. ``buckets`` prunes the scan
-        to the listed buckets' files only (the engine's partition
-        pruning — the manifest is the index, no directory listing)."""
+        """Current table state. ``buckets`` prunes the scan to those
+        buckets' files via the manifest index (no directory listing —
+        the engine's partition pruning). If any selected bucket has
+        delta files, base ∪ deltas is LWW-resolved here (merge-on-read);
+        tables with only base files skip the window entirely."""
         m = manifest or self.manifest
         current = self.schema(m)
         stored_current = _with_deleted(current)
 
         wanted = {str(b) for b in buckets} if buckets is not None else None
         by_version: dict[int, list[str]] = {}
+        has_delta = False
         for b, entries in m.bucket_files.items():
             if wanted is not None and b not in wanted:
                 continue
-            for relpath, sv in entries:
+            for relpath, sv, tier in entries:
+                has_delta = has_delta or tier == DELTA
                 by_version.setdefault(sv, []).append(os.path.join(self.store.root, relpath))
 
         if not by_version:
@@ -138,6 +156,8 @@ class LakeTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
+        if has_delta:
+            df = dedup_last_writer(df, m.key_columns, m.order_columns)
         if include_deleted:
             return df
         return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
@@ -148,6 +168,8 @@ class LakeTable:
         changes: DataFrame,
         batch_id: str,
         n_salt: int = 4,
+        mode: str = "mor",
+        compact_threshold: int = 16,
     ) -> CommitRecord | None:
         """Apply one CDC microbatch exactly-once.
 
@@ -157,8 +179,13 @@ class LakeTable:
 
         Returns the CommitRecord, or None when ``batch_id`` was already
         committed (idempotent replay — ref db2/db2.py:596-655 SCN
-        watermark semantics).
+        watermark semantics). mode="mor" appends LWW-deduped delta
+        files (O(batch) write) and compacts any bucket whose delta
+        count exceeds ``compact_threshold``; mode="cow" rewrites the
+        touched buckets fully.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         m = self.manifest
         if batch_id in m.applied_batch_ids:
             return None
@@ -179,8 +206,8 @@ class LakeTable:
         current_version = schema_versions[-1].version
         stored_schema = _with_deleted(current)
 
-        # -- stage: mark deletes, coerce to table schema, intra-batch LWW
-        obs_in = Observation("rows_in")
+        # -- stage: mark deletes, coerce to table schema
+        obs_in = Observation()
         staged = changes.observe(
             obs_in,
             F.count(F.lit(1)).alias("n"),
@@ -190,56 +217,74 @@ class LakeTable:
         staged = coerce_to(
             staged.withColumn(DELETED_COL, F.col(OP_COL) == F.lit("D")).drop(OP_COL),
             stored_schema,
-        )
-        obs_dedup = Observation("rows_deduped")
-        winners = dedup_last_writer(staged, keys, order_cols).observe(
-            obs_dedup,
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(DELETED_COL).cast("long")).alias("deletes"),
-        )
-        winners = winners.withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
-        # The deduped batch feeds two jobs (touched-bucket probe + the
-        # merge write) — persist so staging/dedup runs once.
-        winners = winners.persist()
-
-        # Bucket pruning: tiny driver-side collect of distinct bucket
-        # ids (≤ n_buckets ints) decides which target files participate.
-        touched = sorted(
-            r["_bucket"] for r in winners.select("_bucket").distinct().collect()
-        )
-        if not touched:  # empty batch still commits (advances the log)
-            winners.unpersist()
-            return self._commit_empty(m, batch_id, schema_versions)
-
-        # target rows are coerced to the (possibly just-evolved) schema
-        # BEFORE the merge so new columns survive the union.
-        target = coerce_to(
-            self.read(buckets=touched, include_deleted=True, manifest=m), stored_schema
         ).withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
-        merged = merge_lww(target, winners, keys, order_cols)
 
-        # -- write new snapshot files for the touched buckets.
-        # repartition by (bucket, salt): a hot conv_id spreads over
-        # n_salt tasks; partitionBy(_bucket) keeps the layout per-bucket.
+        obs_out = Observation()
         snap_rel = f"data/snap-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
-        snap_dir = os.path.join(self.store.root, snap_rel)
-        out = (
-            merged.withColumn("_salt", salt_expr(n_salt, *keys))
-            .repartition(F.col("_bucket"), F.col("_salt"))
-            .drop("_salt")
-            .sortWithinPartitions(*keys)
-        )
-        out.write.partitionBy("_bucket").parquet(snap_dir, mode="errorifexists")
-        winners.unpersist()
+        persisted = None
+        part_cols = ["_bucket", "_salt"]
+        if mode == "cow":
+            # COW needs the touched-bucket set BEFORE reading the
+            # target → one probe job over the (persisted) batch.
+            persisted = staged.persist()
+            touched = sorted(
+                r["_bucket"] for r in persisted.select("_bucket").distinct().collect()
+            )
+            if not touched:  # empty batch still commits (advances the log)
+                persisted.unpersist()
+                return self._commit_empty(m, batch_id, schema_versions)
+            target = coerce_to(
+                self.read(buckets=touched, include_deleted=True, manifest=m),
+                stored_schema,
+            ).withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
+            unioned = target.withColumn("_src", F.lit(False)).unionByName(
+                persisted.withColumn("_src", F.lit(True))
+            ).withColumn("_salt", salt_expr(n_salt, *keys))
+            # ONE exchange by (bucket, salt) + sort resolves intra-batch
+            # duplicates AND batch-vs-target conflicts, pre-clustered
+            # for the bucket-partitioned write (no second shuffle).
+            merged = dedup_last_writer_colocated(unioned, keys, order_cols, part_cols)
+            out_rows = merged.observe(
+                obs_out,
+                F.sum(F.col("_src").cast("long")).alias("from_batch"),
+                F.sum((F.col("_src") & F.col(DELETED_COL)).cast("long")).alias("deletes"),
+            ).drop("_src")
+            tier = BASE
+        else:
+            # MOR fast path: single exchange+sort straight into the
+            # delta write — ONE Spark job per batch; the write's output
+            # directories reveal the touched buckets (no probe job).
+            winners = dedup_last_writer_colocated(
+                staged.withColumn("_salt", salt_expr(n_salt, *keys)),
+                keys, order_cols, part_cols,
+            )
+            out_rows = winners.observe(
+                obs_out,
+                F.count(F.lit(1)).alias("from_batch"),
+                F.sum(F.col(DELETED_COL).cast("long")).alias("deletes"),
+            )
+            tier = DELTA
 
-        new_files, bucket_rows = self._scan_snapshot(snap_dir, snap_rel, current_version)
+        new_files, bucket_rows = self._write_snapshot(
+            out_rows.drop("_salt"), snap_rel, current_version, tier, pre_clustered=True
+        )
+        if persisted is not None:
+            persisted.unpersist()
+        if mode == "mor":
+            touched = sorted(int(b) for b in new_files)
+            if not touched:
+                return self._commit_empty(m, batch_id, schema_versions)
 
         # -- assemble + atomically commit the new manifest
-        bucket_files = dict(m.bucket_files)
+        bucket_files = {b: list(v) for b, v in m.bucket_files.items()}
         for b in touched:
-            bucket_files[str(b)] = new_files.get(str(b), [])
+            bs = str(b)
+            if mode == "cow":
+                bucket_files[bs] = new_files.get(bs, [])
+            else:
+                bucket_files.setdefault(bs, []).extend(new_files.get(bs, []))
         watermarks = dict(m.watermarks)
-        in_metrics, dd = obs_in.get, obs_dedup.get
+        in_metrics, out_metrics = obs_in.get, obs_out.get
         for b in touched:
             watermarks[str(b)] = max(watermarks.get(str(b), -1), int(in_metrics["lsn_hi"]))
         rec = CommitRecord(
@@ -247,9 +292,9 @@ class LakeTable:
             lsn_lo=int(in_metrics["lsn_lo"]),
             lsn_hi=int(in_metrics["lsn_hi"]),
             rows_in=int(in_metrics["n"]),
-            rows_deduped=int(dd["n"]),
-            rows_upserted=int(dd["n"]) - int(dd["deletes"] or 0),
-            rows_deleted=int(dd["deletes"] or 0),
+            rows_deduped=int(out_metrics["from_batch"]),
+            rows_upserted=int(out_metrics["from_batch"]) - int(out_metrics["deletes"] or 0),
+            rows_deleted=int(out_metrics["deletes"] or 0),
             touched_buckets=[int(b) for b in touched],
             committed_at=MetaStore.now(),
             bucket_rows={b: bucket_rows[b] for b in map(str, touched) if b in bucket_rows},
@@ -266,6 +311,14 @@ class LakeTable:
                 watermarks=watermarks,
             )
         )
+        if mode == "mor":
+            over = [
+                int(b)
+                for b, entries in self.manifest.bucket_files.items()
+                if sum(1 for _, _, t in entries if t == DELTA) > compact_threshold
+            ]
+            if over:
+                self.compact(buckets=over, gc_tombstones=False)
         return rec
 
     def _commit_empty(
@@ -275,39 +328,73 @@ class LakeTable:
         self.store.commit(
             Manifest(
                 m.version + 1, m.n_buckets, m.key_columns, m.order_columns,
-                schema_versions, dict(m.bucket_files), list(m.commits) + [rec],
-                dict(m.watermarks),
+                schema_versions, {b: list(v) for b, v in m.bucket_files.items()},
+                list(m.commits) + [rec], dict(m.watermarks),
             )
         )
         return rec
 
-    def _scan_snapshot(
-        self, snap_dir: str, snap_rel: str, schema_version: int
+    # ---------------------------------------------------------------- write
+    def _write_snapshot(
+        self,
+        df: DataFrame,
+        snap_rel: str,
+        schema_version: int,
+        tier: str,
+        n_salt: int = 4,
+        pre_clustered: bool = False,
     ) -> tuple[dict[str, list], dict[str, int]]:
-        """List written files per bucket; row counts from parquet
-        footers (driver-side metadata read — no extra Spark job)."""
-        import pyarrow.parquet as pq
+        """Write rows (must carry _bucket) as per-bucket parquet under
+        snap_rel. When not pre-clustered, repartition by (bucket, salt)
+        — a hot conv_id spreads over n_salt tasks while partitionBy
+        keeps layout per-bucket — and sort with a leading _bucket so
+        the dynamic-partition writer doesn't inject its own sort (key
+        order in-file gives parquet min/max row-group skipping). Files
+        are listed + row-counted from parquet footers driver-side (no
+        extra Spark job)."""
+        snap_dir = os.path.join(self.store.root, snap_rel)
+        keys = self.manifest.key_columns
+        if pre_clustered:
+            out = df  # already exchanged+sorted by (_bucket, _salt, keys)
+        else:
+            out = (
+                df.withColumn("_salt", salt_expr(n_salt, *keys))
+                .repartition(F.col("_bucket"), F.col("_salt"))
+                .drop("_salt")
+                .sortWithinPartitions("_bucket", *keys)
+            )
+        out.write.partitionBy("_bucket").parquet(snap_dir, mode="errorifexists")
 
-        files: dict[str, list] = {}
-        rows: dict[str, int] = {}
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending: list[tuple[str, str, str]] = []  # (bucket, relpath, abspath)
         for entry in os.listdir(snap_dir):
             if not entry.startswith("_bucket="):
                 continue
             b = entry.split("=", 1)[1]
             bdir = os.path.join(snap_dir, entry)
             for fn in sorted(os.listdir(bdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                files.setdefault(b, []).append([f"{snap_rel}/{entry}/{fn}", schema_version])
-                rows[b] = rows.get(b, 0) + pq.ParquetFile(os.path.join(bdir, fn)).metadata.num_rows
+                if fn.endswith(".parquet"):
+                    pending.append((b, f"{snap_rel}/{entry}/{fn}", os.path.join(bdir, fn)))
+
+        # footer row counts in parallel — with hundreds of small files
+        # a sequential loop becomes measurable driver-side serial time
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            counts = list(ex.map(lambda p: pq.ParquetFile(p[2]).metadata.num_rows, pending))
+
+        files: dict[str, list] = {}
+        rows: dict[str, int] = {}
+        for (b, relpath, _), n in zip(pending, counts):
+            files.setdefault(b, []).append([relpath, schema_version, tier])
+            rows[b] = rows.get(b, 0) + n
         return files, rows
 
     # ----------------------------------------------------------- utilities
     def overwrite_full(self, df: DataFrame, batch_id: str) -> CommitRecord | None:
         """Full refresh: replace all table content in one snapshot flip
         (ref: truncate-then-load, postgres/postgres.py:421-448; Carto
-        replace-and-swap, carto_.py:471-490). Implemented as: tombstone
-        every existing key not in df, upsert df — all in one commit."""
+        replace-and-swap rename in one txn, carto_.py:422-436)."""
         m = self.manifest
         if batch_id in m.applied_batch_ids:
             return None
@@ -323,26 +410,17 @@ class LakeTable:
         current_version = schema_versions[-1].version
         stored_schema = _with_deleted(current)
 
-        obs = Observation("refresh")
+        obs = Observation()
         staged = df.observe(
             obs, F.count(F.lit(1)).alias("n"),
             F.min("lsn").alias("lsn_lo"), F.max("lsn").alias("lsn_hi"),
         )
-        # intra-refresh dedup still applies (one row per key)
         staged = dedup_last_writer(
             coerce_to(staged.withColumn(DELETED_COL, F.lit(False)), stored_schema),
             keys, m.order_columns,
-        )
+        ).withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
         snap_rel = f"data/refresh-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
-        snap_dir = os.path.join(self.store.root, snap_rel)
-        (
-            staged.withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
-            .repartition(F.col("_bucket"))
-            .sortWithinPartitions(*keys)
-            .write.partitionBy("_bucket")
-            .parquet(snap_dir, mode="errorifexists")
-        )
-        new_files, bucket_rows = self._scan_snapshot(snap_dir, snap_rel, current_version)
+        new_files, bucket_rows = self._write_snapshot(staged, snap_rel, current_version, BASE)
         met = obs.get
         rec = CommitRecord(
             batch_id=batch_id,
@@ -352,9 +430,6 @@ class LakeTable:
             touched_buckets=sorted(int(b) for b in new_files),
             committed_at=MetaStore.now(), bucket_rows=bucket_rows,
         )
-        # full replace: new files are the ONLY files — old snapshot
-        # becomes unreferenced in one pointer flip (ref: rename-swap
-        # prod⇄temp in one txn, carto_.py:422-436)
         self.store.commit(
             Manifest(
                 m.version + 1, m.n_buckets, keys, m.order_columns,
@@ -364,34 +439,42 @@ class LakeTable:
         )
         return rec
 
-    def compact(self, gc_tombstones_below_lsn: int | None = None) -> None:
-        """Rewrite all buckets into fresh files, dropping tombstones
-        whose lsn is below the horizon (default: all — callers that
-        expect very late out-of-order events should pass a horizon).
-        The engine's VACUUM analogue (ref: _cleanup.py:5-15)."""
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        gc_tombstones: bool = True,
+        gc_tombstones_below_lsn: int | None = None,
+    ) -> None:
+        """Fold deltas into fresh base files for the given buckets (all
+        by default), optionally GC'ing tombstones — the engine's
+        VACUUM analogue (ref: _cleanup.py:5-15). Bucket-scoped so MOR
+        maintenance cost stays O(hot buckets), not O(table)."""
         m = self.manifest
-        df = self.read(include_deleted=True, manifest=m)
-        horizon = gc_tombstones_below_lsn
-        if horizon is None:
-            df = df.filter(~F.col(DELETED_COL))
-        else:
-            df = df.filter((~F.col(DELETED_COL)) | (F.col("lsn") >= F.lit(horizon)))
-        keys = m.key_columns
-        snap_rel = f"data/compact-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
-        snap_dir = os.path.join(self.store.root, snap_rel)
-        (
-            df.withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
-            .repartition(F.col("_bucket"))
-            .sortWithinPartitions(*keys)
-            .write.partitionBy("_bucket")
-            .parquet(snap_dir, mode="errorifexists")
+        targets = sorted(buckets) if buckets is not None else sorted(
+            int(b) for b in m.bucket_files
         )
+        if not targets:
+            return
+        df = self.read(buckets=targets, include_deleted=True, manifest=m)
+        if gc_tombstones:
+            if gc_tombstones_below_lsn is None:
+                df = df.filter(~F.col(DELETED_COL))
+            else:
+                df = df.filter(
+                    (~F.col(DELETED_COL)) | (F.col("lsn") >= F.lit(gc_tombstones_below_lsn))
+                )
+        keys = m.key_columns
+        df = df.withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
+        snap_rel = f"data/compact-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
         current_version = m.schema_versions[-1].version
-        new_files, _ = self._scan_snapshot(snap_dir, snap_rel, current_version)
+        new_files, _ = self._write_snapshot(df, snap_rel, current_version, BASE)
+        bucket_files = {b: list(v) for b, v in m.bucket_files.items()}
+        for b in targets:
+            bucket_files[str(b)] = new_files.get(str(b), [])
         self.store.commit(
             Manifest(
                 m.version + 1, m.n_buckets, m.key_columns, m.order_columns,
-                list(m.schema_versions), new_files, list(m.commits),
+                list(m.schema_versions), bucket_files, list(m.commits),
                 dict(m.watermarks),
             )
         )

@@ -1,0 +1,153 @@
+"""Document deduplication operators for training-data pipelines.
+
+All operators are pure DataFrame compositions (explode/groupBy/join)
+so Catalyst plans them and whole-stage codegen runs them — no Python
+in the hot path. Hashing uses md5 (JVM intrinsic, identical hex output
+in DuckDB) so every operator here is oracle-checkable cross-engine.
+
+Scale notes: the LSH family exists precisely because exact pairwise
+similarity is O(n²) — at 100 TB only the banded candidate-pair path
+survives. The shingle-join operators bound the blowup with a document-
+frequency cap on join keys (a standard "drop ubiquitous shingles"
+guard; at web scale this is what keeps the self-join sub-quadratic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    t = F.split(F.col(text_col), " ")
+    sh = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one surviving id per distinct text
+    (keep lowest id), with the duplicate count. One shuffle."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """MinHash band signatures: per (id, band), the concatenation of
+    ``rows_per_band`` min-hashes. min(md5(salt || shingle)) is a valid
+    min-hash family because md5 output order is uniform on strings."""
+    hashes = sh.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.lit(r).alias("row"),
+                    F.md5(F.concat_ws("_", F.lit(b), F.lit(r), F.col("shingle"))).alias("h"),
+                )
+                for b in range(n_bands)
+                for r in range(rows_per_band)
+            ])
+        ).alias("x"),
+    ).select("id", "x.band", "x.row", "x.h")
+    per_row = hashes.groupBy("id", "band", "row").agg(F.min("h").alias("minh"))
+    return per_row.groupBy("id", "band").agg(
+        F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("row").cast("string"), F.col("minh"))))).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Docs sharing any band signature → candidate pairs (a < b)."""
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, max_doc_freq: int | None = None, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle (optionally
+    restricted to given candidate ``pairs``). ``max_doc_freq`` drops
+    ubiquitous shingles from the join key set (scale guard)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    join_sh = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle")
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["id_a", "id_b"])
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint from the doc's distinct tokens: bit j is the
+    sign of the sum over tokens of ±1 drawn from nibble j of
+    md5(token). Integer arithmetic end-to-end → exactly reproducible
+    in any engine with md5."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).distinct()
+    j = F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j")
+    nib = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("tok")), F.col("j"), 1),
+    ) - 1
+    contrib = F.when(nib >= 8, 1).otherwise(-1)
+    per_bit = (
+        toks.select("id", "tok", j)
+        .withColumn("c", contrib)
+        .groupBy("id", "j")
+        .agg(F.sum("c").alias("s"))
+    )
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("j") - 1).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )

@@ -67,6 +67,32 @@ def dedup_last_writer(df: DataFrame, keys: list[str], order_cols: list[str]) -> 
     )
 
 
+def dedup_last_writer_colocated(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    part_cols: list[str],
+) -> DataFrame:
+    """LWW dedup when ``part_cols`` is a pure function of ``keys``
+    (e.g. (bucket, salt) derived from the key hash): exchange once by
+    part_cols, sort (part_cols, keys, order desc), keep the first row
+    of each key run via lag — no second shuffle for a downstream
+    bucket-partitioned write, and the sort prefix satisfies the
+    dynamic-partition writer's required ordering. This halves the
+    shuffles of the merge hot path.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(
+        *[F.col(k).asc() for k in keys],
+        *[F.col(c).desc_nulls_last() for c in order_cols],
+    )
+    prev = [F.lag(F.col(k)).over(w).alias(f"_prev_{k}") for k in keys]
+    marked = df.select("*", *prev)
+    is_first = F.lit(False)
+    for k in keys:
+        is_first = is_first | F.col(f"_prev_{k}").isNull() | (F.col(f"_prev_{k}") != F.col(k))
+    return marked.filter(is_first).drop(*[f"_prev_{k}" for k in keys])
+
+
 def merge_lww(
     target: DataFrame,
     batch: DataFrame,

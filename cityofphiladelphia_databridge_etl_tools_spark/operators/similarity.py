@@ -1,0 +1,162 @@
+"""Embedding similarity search: brute-force cosine top-k (exact
+baseline) and hyperplane-LSH bucketing (the scale path).
+
+Vectors are `array<float>` columns; all arithmetic is JVM-side
+(`zip_with`/`aggregate` higher-order functions) in double precision —
+no Python, no UDF. At 100 TB the brute-force path is only for
+re-ranking within LSH buckets; the bucketed variant turns ANN into an
+equi-join on bucket id (shuffle-partitionable, AQE-skew-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query vector. Ranking uses the ROUNDED
+    similarity (+ id tiebreak) so results are stable across engines
+    and summation orders."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        q.crossJoin(v)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hyperplane_sign(vec_col, plane: int) -> F.Column:
+    """Sign of <v, w_plane> where w_plane[d] = ±1 derived from
+    md5(plane || '_' || d) — a deterministic, data-independent random
+    hyperplane reproducible in any engine with md5."""
+    prods = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x, i: x.cast("double")
+        * F.when(
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.concat_ws("_", F.lit(plane), i.cast("string"))), 1, 1),
+            )
+            - 1
+            >= 8,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: n_planes sign bits → bucket id. Vectors
+    in the same bucket are ANN candidates; search becomes a bucket
+    equi-join instead of a cross join."""
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(hyperplane_sign(vec_col, p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return vectors.select(
+        F.col(id_col).alias("vec_id_out"), bucket.cast("int").alias("bucket")
+    ).withColumnRenamed("vec_id_out", id_col)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via LSH buckets: candidates share the query's bucket, then
+    exact cosine re-rank within bucket. Recall < 1 by construction —
+    the benchmarkable tradeoff vs brute_force_topk."""
+    vb = lsh_buckets(vectors, n_planes, id_col, vec_col).join(vectors, id_col)
+    qb = lsh_buckets(queries, n_planes, id_col, vec_col).join(queries, id_col)
+    q = qb.select(F.col(id_col).alias("query_id"), F.col("bucket"), F.col(vec_col).alias("qv"))
+    v = vb.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"), F.col(vec_col).alias("nv"))
+    scored = (
+        q.join(v, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: LSH bucket join →
+    exact cosine filter. The embedding analogue of MinHash-LSH."""
+    vb = lsh_buckets(vectors, n_planes, id_col, vec_col).join(vectors, id_col)
+    a = vb.select(F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("va"))
+    b = vb.select(F.col(id_col).alias("id_b"), F.col("bucket"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,99 @@
+"""Text analysis operators: language-ID heuristic, quality scoring,
+token counting, document fingerprinting. All built-in column
+expressions (codegen'd, no UDFs) and integer/exact arithmetic where
+possible so every op is DuckDB-oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny function-word lists for the n-gram language heuristic
+LANG_MARKERS = {
+    "en": ["the", "of", "and"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "que"],
+}
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def _count_token(text_col, word: str) -> F.Column:
+    """Occurrences of a whole token (space-delimited) in the text."""
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(f" {word} "), F.lit(" "))))
+        / (F.length(F.lit(f"{word} ")))
+    ).cast("int")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword pieces (alnum runs /
+    punctuation as separate tokens) — the two standard size metrics."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(t, " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"), 0)).alias("bpe_ish_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, mean token length, stopword
+    ratio, and a composite score. Mirrors the common pretraining-data
+    quality filters (Gopher/C4-style rules)."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(t, " "))
+    n_chars = F.length(t)
+    stop_hits = None
+    for wrd in STOPWORDS:
+        c = _count_token(t, wrd)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_ratio = F.round(stop_hits / n_tokens, 4)
+    mean_tok_len = F.round((n_chars - (n_tokens - 1)) / n_tokens, 4)
+    score = F.round(
+        F.when(n_tokens < 5, 0.0).otherwise(
+            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (F.lit(1.0) - stop_ratio)
+        ),
+        4,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram(word)-marker language heuristic: argmax of marker-token
+    hits, ties broken by a fixed language order, 'und' (undetermined)
+    when nothing hits."""
+    t = F.col(text_col)
+    scores = {lang: None for lang in LANG_MARKERS}
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for wrd in words:
+            c = _count_token(t, wrd)
+            s = c if s is None else s + c
+        scores[lang] = s
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fixed precedence: earlier language wins ties (strictly-greater test)
+    for lang in ["en", "de", "fr", "es"]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return docs.select(F.col(id_col), F.col("lang").alias("labeled_lang"), best.alias("predicted_lang"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over the whitespace/caseness-normalized
+    text (the cheap rolling-hash analogue), 16-hex truncated."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), " +", " ")
+    return docs.select(
+        F.col(id_col),
+        F.substring(F.md5(norm), 1, 16).alias("fp"),
+    )

@@ -1,0 +1,554 @@
+"""CDC-semantics, transform, and analytic queries over the testdata.
+
+The `events` table (event_id, ts, user_id, event_type, value, props)
+stands in for the transcript change stream: event_id is the LSN,
+(user_id, event_id % 50) the merge key, event_type='error' mapped to
+deletes. Each query cites the reference operator it re-expresses.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import merge as M
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# The canonical events→changes mapping used by the CDC queries.
+def _as_changes(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 50).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.col("ts"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+
+
+_CHANGES_SQL = """
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         event_type AS role, props AS text, ts, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+"""
+
+_FINAL_STATE_SQL = f"""
+WITH c AS ({_CHANGES_SQL}),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+      FROM c)
+SELECT conv_id, turn_idx, role, text, ts, lsn
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# --------------------------------------------------------------- CDC core
+def cdc_upsert_state(spark, sf_dir):
+    """LWW state reconstruction — operators U1/U8 as one dataflow
+    (ref: postgres.py:551-565 upsert + ago.py:1070-1078 dup repair)."""
+    ch = _as_changes(_events(spark, sf_dir))
+    winners = M.dedup_last_writer(ch, ["conv_id", "turn_idx"], ["ts", "lsn"])
+    return winners.filter(F.col("op") != "D").drop("op")
+
+
+def cdc_replay_merge(spark, sf_dir):
+    """The FULL engine path: events→changes split into 4 LSN-window
+    microbatches, merged into a real LakeTable (commit log, buckets,
+    salting, tombstones), final state read back. The oracle is an
+    independent one-shot SQL replay — this is the engine's
+    final-state-equality gate on driver data."""
+    from ..lake import LakeTable
+    from pyspark.sql import types as T
+
+    ch = _as_changes(_events(spark, sf_dir))
+    schema = T.StructType([f for f in ch.schema.fields if f.name != "op"])
+    root = tempfile.mkdtemp(prefix="cdc_replay_") + "/t"
+    t = LakeTable.create(
+        spark, root, schema, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8
+    )
+    hi = ch.agg(F.max("lsn")).collect()[0][0] + 1
+    step = (hi + 3) // 4
+    for k in range(4):
+        b = ch.filter((F.col("lsn") >= k * step) & (F.col("lsn") < (k + 1) * step))
+        t.merge_batch(b, f"replay-{k}")
+    return t.read().select("conv_id", "turn_idx", "role", "text", "ts", "lsn")
+
+
+def cdc_window_dedup(spark, sf_dir):
+    """Window dedup keep-newest per (user, type) — operator U8."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def cdc_route_changes(spark, sf_dir):
+    """Insert/update routing counts — set-wise replacement of the AGO
+    per-row point query (U5, ago/ago.py:1064-1100)."""
+    ev = _events(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    routed = M.route_changes(ev, cust.withColumnRenamed("user_id", "user_id"), ["user_id"])
+    return (
+        routed.groupBy("_action")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .withColumnRenamed("_action", "action")
+    )
+
+
+def cdc_delete_stale(spark, sf_dir):
+    """Delete-stale retention — U4 (postgres.py:450-495): keep only
+    events whose user still exists in the staging (customer) set."""
+    ev = _events(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    kept = M.delete_stale(ev, cust, ["user_id"])
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def cdc_watermark(spark, sf_dir):
+    """Per-partition watermark computation — U7/A2 (db2.py:596-655,
+    ago.py:1317-1329 MAX(updated_datetime))."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.max("ts").alias("max_ts"),
+        F.max("event_id").alias("max_lsn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def cdc_except_diff(spark, sf_dir):
+    """recorddiff oracle — A5 (tests/test_postgres.py:69-86): project
+    two halves of the stream and diff them with EXCEPT ALL."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    a = _events(spark, sf_dir).filter(F.col("event_id") % 2 == 0).select("user_id", "event_type")
+    diff = ev.exceptAll(a)  # == the odd half, multiset-wise
+    return diff.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cdc_changelog_stats(spark, sf_dir):
+    """Lineage counts per op — A1 (count verification everywhere in
+    the reference; here via one aggregation, not recounts)."""
+    ch = _as_changes(_events(spark, sf_dir))
+    return ch.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.min("lsn").alias("lsn_lo"),
+        F.max("lsn").alias("lsn_hi"),
+    )
+
+
+# --------------------------------------------------------------- transforms
+def t_scrub_sanitize(spark, sf_dir):
+    """Vectorized text scrub — T3/T5 (null-byte scrub _cleanup.py:30-54,
+    AGO strip chars ago.py:436-474): lowercase, strip non-alnum,
+    collapse whitespace. regexp_replace is JVM-side codegen, replacing
+    the reference's 500-line sampling heuristic with an exact pass."""
+    d = _t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
+def t_tz_shift(spark, sf_dir):
+    """Timezone localize — T4 (postgres.py:327-341 US/Eastern): shift
+    event time by a fixed offset and histogram local hours."""
+    ev = _events(spark, sf_dir)
+    local = F.col("ts") + F.expr("INTERVAL 5 HOURS")
+    return (
+        ev.select(F.hour(local).alias("local_hour"))
+        .groupBy("local_hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def t_json_extract(spark, sf_dir):
+    """JSON payload decode — T10/T12 (airtable.py:96-111 json values):
+    pull props.k out and aggregate it."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def t_surrogate_key(spark, sf_dir):
+    """Surrogate objectid generation — T13 (oracle.py:370-375
+    NEXT_ROWID, airtable.py:107-109): deterministic dense row ids."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return d.select("doc_id", "source").withColumn(
+        "objectid", F.row_number().over(w)
+    )
+
+
+# ---------------------------------------------------------------- analytics
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the engine's heavy-agg benchmark query. Decimal
+    accumulation then double output for cross-engine exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_unshipped(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + top-10 revenue. Small dims are
+    broadcast (explicit hint; AQE would also pick it)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(28,8)")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.round("revenue", 4).desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join through region→nation→customer→
+    orders→lineitem with broadcast dims."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(28,8)")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def topk_parts_per_brand(spark, sf_dir):
+    """Top-3 revenue parts per brand — window top-k (the engine's
+    hot-key inspection query)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(28,8)")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.round("revenue", 4).desc(), F.col("p_partkey").asc()
+    )
+    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+def sessionize_events(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user via lag + cumsum —
+    the batch analogue of the streaming session_window."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds in both engines — exact gap comparison
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    per_session = (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def asof_last_signup(spark, sf_dir):
+    """As-of join (Spark lacks a native one): for each event, the most
+    recent signup ts by the same user at-or-before the event —
+    expressed as a running conditional max window, no join at all."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    out = ev.withColumn("last_signup_ts", last_signup)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("last_signup_ts").alias("n_with_signup"),
+        F.max("last_signup_ts").alias("max_signup_ts"),
+    )
+
+
+# ------------------------------------------------------------ oracle SQL
+CORE_REGISTRY = {
+    "cdc_upsert_state": (
+        cdc_upsert_state,
+        f"""
+        WITH c AS ({_CHANGES_SQL}),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM c)
+        SELECT conv_id, turn_idx, role, text, ts, lsn
+        FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+    ),
+    "cdc_replay_merge": (cdc_replay_merge, _FINAL_STATE_SQL),
+    "cdc_window_dedup": (
+        cdc_window_dedup,
+        """
+        WITH r AS (SELECT user_id, event_type, event_id, ts,
+                          row_number() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                   FROM events)
+        SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1
+        """,
+    ),
+    "cdc_route_changes": (
+        cdc_route_changes,
+        """
+        SELECT CASE WHEN c.c_custkey IS NOT NULL THEN 'update' ELSE 'insert' END AS action,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+        """,
+    ),
+    "cdc_delete_stale": (
+        cdc_delete_stale,
+        """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events e
+        WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        GROUP BY event_type
+        """,
+    ),
+    "cdc_watermark": (
+        cdc_watermark,
+        """
+        SELECT event_type, max(ts) AS max_ts,
+               CAST(max(event_id) AS BIGINT) AS max_lsn,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        """,
+    ),
+    "cdc_except_diff": (
+        cdc_except_diff,
+        """
+        WITH d AS (
+          SELECT user_id, event_type FROM events
+          EXCEPT ALL
+          SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY event_type
+        """,
+    ),
+    "cdc_changelog_stats": (
+        cdc_changelog_stats,
+        f"""
+        WITH c AS ({_CHANGES_SQL})
+        SELECT op, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(min(lsn) AS BIGINT) AS lsn_lo, CAST(max(lsn) AS BIGINT) AS lsn_hi
+        FROM c GROUP BY op
+        """,
+    ),
+    "t_scrub_sanitize": (
+        t_scrub_sanitize,
+        """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS clean_text,
+               CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS clean_len
+        FROM documents
+        """,
+    ),
+    "t_tz_shift": (
+        t_tz_shift,
+        """
+        SELECT CAST(extract(hour FROM ts + INTERVAL 5 HOUR) AS INT) AS local_hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+        """,
+    ),
+    "t_json_extract": (
+        t_json_extract,
+        """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        """,
+    ),
+    "t_surrogate_key": (
+        t_surrogate_key,
+        """
+        SELECT doc_id, source,
+               CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS objectid
+        FROM documents
+        """,
+    ),
+    "q1_pricing_summary": (
+        q1_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    ),
+    "q3_top_unshipped": (
+        q3_top_unshipped,
+        """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY round(revenue, 4) DESC, o_orderkey ASC
+        LIMIT 10
+        """,
+    ),
+    "q5_nation_revenue": (
+        q5_nation_revenue,
+        """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        """,
+    ),
+    "topk_parts_per_brand": (
+        topk_parts_per_brand,
+        """
+        WITH agg AS (
+          SELECT p_brand, p_partkey,
+                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand, p_partkey
+        )
+        SELECT p_brand, p_partkey, revenue,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+                       ORDER BY round(revenue, 4) DESC, p_partkey ASC) AS rank
+              FROM agg)
+        WHERE rank <= 3
+        """,
+    ),
+    "sessionize_events": (
+        sessionize_events,
+        """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        ),
+        per AS (
+          SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(max(n_events) AS BIGINT) AS max_session_events,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM per GROUP BY user_id
+        """,
+    ),
+    "asof_last_signup": (
+        asof_last_signup,
+        """
+        WITH a AS (
+          SELECT event_type,
+                 max(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+          FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(last_signup_ts) AS BIGINT) AS n_with_signup,
+               max(last_signup_ts) AS max_signup_ts
+        FROM a GROUP BY event_type
+        """,
+    ),
+}

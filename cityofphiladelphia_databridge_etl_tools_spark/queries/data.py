@@ -1,0 +1,352 @@
+"""Training-data pipeline queries: dedup family, similarity search,
+text analysis, multimodal plumbing, streaming — each with a DuckDB
+oracle where SQL-expressible.
+
+Shared cross-engine conventions: md5 for all hashing, explicit casts
+to DOUBLE before float math, ROUND before ranking/output, total
+tiebreaks on ids, and identical 0-based plane/dim indexing (Spark
+higher-order-function indexes are 0-based; the SQL subtracts 1)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as S
+from ..operators import textstats as TX
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_SH_SQL = """
+  toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
+  sh AS (
+    SELECT DISTINCT id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS shingle
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+    WHERE len(t) >= 3
+  )
+"""
+
+
+# ------------------------------------------------------------------ dedup
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir)).orderBy("content_hash")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs ≥ 0.3 — the ground-truth near-dup
+    set the LSH variants approximate."""
+    sh = D.doc_shingles(_docs(spark, sf_dir))
+    return D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.3)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → banded min-hash signatures →
+    bucket join for candidates → exact Jaccard verify ≥ 0.3. The
+    O(n·bands) scale path vs dedup_ngram_jaccard's O(n²)."""
+    sh = D.doc_shingles(_docs(spark, sf_dir))
+    sig = D.minhash_signatures(sh, n_bands=4, rows_per_band=2)
+    cand = D.lsh_candidate_pairs(sig)
+    return D.jaccard_pairs(sh, pairs=cand).filter(F.col("jaccard") >= 0.3)
+
+
+def dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir)).orderBy("id")
+
+
+# -------------------------------------------------------------- similarity
+def ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+def ann_lsh_bucket_hist(spark, sf_dir):
+    """Hyperplane-LSH bucket assignment (the ANN scale path): bucket
+    histogram proves the partitioning the bucket-join relies on."""
+    b = S.lsh_buckets(_emb(spark, sf_dir), n_planes=8)
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k (recall<1 tradeoff vs ann_cosine_topk)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, k=5, n_planes=6)
+
+
+# --------------------------------------------------------------- text ops
+def text_token_count(spark, sf_dir):
+    return TX.token_count(_docs(spark, sf_dir))
+
+
+def text_quality_score(spark, sf_dir):
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+def text_lang_id(spark, sf_dir):
+    out = TX.lang_id(_docs(spark, sf_dir))
+    return out.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def doc_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
+# -------------------------------------------------------------- multimodal
+def mm_extract_meta(spark, sf_dir):
+    """Binary-column metadata extraction via Arrow-batched mapInPandas —
+    the multimodal plumbing op (decode itself is stubbed; see
+    operators.multimodal)."""
+    media = MM.docs_as_media(_docs(spark, sf_dir))
+    return MM.extract_meta(media)
+
+
+# --------------------------------------------------------------- streaming
+def stream_hourly_counts(spark, sf_dir):
+    """Structured Streaming microbatch aggregation: file-source tail →
+    event-time tumbling window + watermark → memory sink (complete
+    mode). Deterministic on a finite source after processAllAvailable."""
+    from ..streaming.pipeline import run_windowed_counts
+
+    return run_windowed_counts(spark, sf_dir)
+
+
+_JACCARD_TAIL = """
+  sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+  common AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+  )
+"""
+
+DATA_REGISTRY = {
+    "dedup_exact": (
+        dedup_exact,
+        """
+        SELECT md5(text) AS content_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+        """,
+    ),
+    "dedup_ngram_jaccard": (
+        dedup_ngram_jaccard,
+        f"""
+        WITH {_SH_SQL}, {_JACCARD_TAIL}
+        SELECT c.id_a, c.id_b,
+               round(c.n_common / (sa.sz + sb.sz - c.n_common), 4) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.id = c.id_a
+        JOIN sizes sb ON sb.id = c.id_b
+        WHERE round(c.n_common / (sa.sz + sb.sz - c.n_common), 4) >= 0.3
+        """,
+    ),
+    "dedup_minhash_lsh": (
+        dedup_minhash_lsh,
+        f"""
+        WITH {_SH_SQL},
+        mh AS (
+          SELECT id, br.band, br.row,
+                 min(md5(concat_ws('_', br.band, br.row, shingle))) AS minh
+          FROM sh, (SELECT b.b AS band, r.r AS row
+                    FROM (SELECT unnest([0,1,2,3]) AS b) b,
+                         (SELECT unnest([0,1]) AS r) r) br
+          GROUP BY id, br.band, br.row
+        ),
+        sig AS (
+          SELECT id, band,
+                 string_agg(concat_ws(':', row, minh), '|'
+                            ORDER BY concat_ws(':', row, minh)) AS sig
+          FROM mh GROUP BY id, band
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+        ),
+        {_JACCARD_TAIL}
+        SELECT c.id_a, c.id_b,
+               round(c.n_common / (sa.sz + sb.sz - c.n_common), 4) AS jaccard
+        FROM common c
+        JOIN cand ON cand.id_a = c.id_a AND cand.id_b = c.id_b
+        JOIN sizes sa ON sa.id = c.id_a
+        JOIN sizes sb ON sb.id = c.id_b
+        WHERE round(c.n_common / (sa.sz + sb.sz - c.n_common), 4) >= 0.3
+        """,
+    ),
+    "dedup_simhash": (
+        dedup_simhash,
+        """
+        WITH toks AS (
+          SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        bits AS (
+          SELECT id, g.j AS j,
+                 sum(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), g.j, 1)) - 1 >= 8
+                          THEN 1 ELSE -1 END) AS s
+          FROM toks, (SELECT unnest(generate_series(1, 16)) AS j) g
+          GROUP BY id, g.j
+        )
+        SELECT id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 ** (j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY id
+        """,
+    ),
+    "ann_cosine_topk": (
+        ann_cosine_topk,
+        """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        v AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+        s AS (
+          SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])), 4) AS sim
+          FROM q, v WHERE query_id <> neighbor_id
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+        SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+        """,
+    ),
+    "ann_lsh_bucket_hist": (
+        ann_lsh_bucket_hist,
+        """
+        WITH d AS (
+          SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS val
+          FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        ),
+        pl AS (SELECT unnest(generate_series(0, 7)) AS p),
+        s AS (
+          SELECT vec_id, p,
+                 sum(val * CASE WHEN strpos('0123456789abcdef',
+                        substr(md5(concat_ws('_', p, i - 1)), 1, 1)) - 1 >= 8
+                      THEN 1.0 ELSE -1.0 END) AS s
+          FROM d, pl GROUP BY vec_id, p
+        ),
+        b AS (
+          SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS INT) AS bucket
+          FROM s GROUP BY vec_id
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY bucket
+        """,
+    ),
+    # LSH top-k recall depends on bucket collisions — verified against
+    # the brute-force oracle in tests, not SQL (rows-only check here).
+    "ann_lsh_topk": (ann_lsh_topk, None),
+    "text_token_count": (
+        text_token_count,
+        """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpe_ish_tokens,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents
+        """,
+    ),
+    "text_quality_score": (
+        text_quality_score,
+        """
+        WITH f AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 length(text) AS n_chars,
+                 {stop_sum} AS stop_hits
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               round(stop_hits / n_tokens, 4) AS stopword_ratio,
+               round((n_chars - (n_tokens - 1)) / n_tokens, 4) AS mean_token_len,
+               round(CASE WHEN n_tokens < 5 THEN 0.0
+                     ELSE least(1.0, n_tokens / 100.0) * (1.0 - round(stop_hits / n_tokens, 4)) END, 4) AS quality_score
+        FROM f
+        """.format(
+            stop_sum=" + ".join(
+                "CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ' '))) / length('{w} ') AS INT)".format(w=w)
+                for w in TX.STOPWORDS
+            )
+        ),
+    ),
+    "text_lang_id": (text_lang_id, None),  # filled below (long CASE)
+    "doc_fingerprint": (
+        doc_fingerprint,
+        """
+        SELECT doc_id,
+               substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 16) AS fp
+        FROM documents
+        """,
+    ),
+    "mm_extract_meta": (
+        mm_extract_meta,
+        """
+        WITH cs AS (
+          SELECT doc_id, CAST(sum(ascii(substr(text, g.i, 1))) AS BIGINT) AS checksum
+          FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) g
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
+               CAST(ascii(substr(d.text, 1, 1)) AS INT) AS header_byte,
+               CAST(octet_length(encode(d.text)) % 640 AS INT) AS fake_width,
+               CAST(octet_length(encode(d.text)) % 480 AS INT) AS fake_height,
+               cs.checksum
+        FROM documents d JOIN cs ON cs.doc_id = d.doc_id
+        """,
+    ),
+    "stream_hourly_counts": (
+        stream_hourly_counts,
+        """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+    ),
+}
+
+
+def _count_token_sql(word: str) -> str:
+    return (
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {word} ', ' ')))"
+        f" / length('{word} ') AS INT)"
+    )
+
+
+_LANG_SQL_SCORES = {
+    lang: " + ".join(_count_token_sql(w) for w in words)
+    for lang, words in TX.LANG_MARKERS.items()
+}
+
+# argmax with fixed precedence en>de>fr>es, strictly-greater ties → 'und'
+_LANG_ID_SQL = """
+WITH s AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {en} AS s_en, {de} AS s_de, {fr} AS s_fr, {es} AS s_es
+  FROM documents
+),
+p AS (
+  SELECT doc_id, labeled_lang,
+    CASE
+      WHEN s_es > greatest(s_en, s_de, s_fr, 0) THEN 'es'
+      WHEN s_fr > greatest(s_en, s_de, 0) THEN 'fr'
+      WHEN s_de > greatest(s_en, 0) THEN 'de'
+      WHEN s_en > 0 THEN 'en'
+      ELSE 'und' END AS predicted_lang
+  FROM s
+)
+SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+""".format(**_LANG_SQL_SCORES)
+
+DATA_REGISTRY["text_lang_id"] = (text_lang_id, _LANG_ID_SQL)

@@ -1,0 +1,95 @@
+"""Structured Streaming pipelines.
+
+Two entry points:
+
+- :func:`stream_changes_into_table` — the binlog-tail path of the
+  north star: ``readStream`` over a change-file directory →
+  ``foreachBatch`` → :meth:`LakeTable.merge_batch` with the streaming
+  epoch id as the batch id. Spark's checkpoint gives source-offset
+  resume; the lake's batch-id commit log makes the sink side
+  idempotent, so the pair is exactly-once end-to-end (a replayed epoch
+  after crash hits the already-committed batch id and no-ops).
+
+- :func:`run_windowed_counts` — watermarked event-time tumbling-window
+  aggregation over the events table (the classic late-data pattern),
+  driven to completion synchronously with processAllAvailable for
+  deterministic results on a finite source.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_changes_into_table(
+    spark: SparkSession,
+    changes_dir: str,
+    table,  # LakeTable
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Tail a directory of parquet change files into a LakeTable.
+
+    Returns the StreamingQuery; callers drive it (processAllAvailable
+    for tests, awaitTermination for production).
+    """
+    schema = spark.read.parquet(changes_dir).schema  # infer once, batch-side
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changes_dir)
+    )
+
+    def apply_batch(df: DataFrame, epoch_id: int) -> None:
+        # epoch_id is stable across restarts for a given checkpoint —
+        # exactly the idempotence key merge_batch wants.
+        table.merge_batch(df, batch_id=f"stream-epoch-{epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts + sums per event_type over the
+    events stream, with a 1-hour watermark for late data. Complete
+    output mode to a memory sink → full deterministic result set."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    name = f"hourly_counts_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks need TIMESTAMP (LTZ); session TZ is UTC so the
+        # NTZ→LTZ cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type", "n", "sum_value",
+    )

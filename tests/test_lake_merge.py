@@ -43,14 +43,16 @@ def test_single_batch_matches_oracle(spark, tmp_path):
     assert_df_equal(t.read(), changegen.expected_final_state(stream))
 
 
-def test_multi_batch_replay_equals_reference(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_multi_batch_replay_equals_reference(spark, tmp_path, mode):
     """Split one stream into 4 lsn-window batches; applying them in
-    order must equal one-shot replay of the whole stream."""
+    order must equal one-shot replay of the whole stream — under both
+    copy-on-write and merge-on-read strategies."""
     t = make_table(spark, tmp_path)
     full = changegen.changes(spark, 4000, seed=2)
     for k in range(4):
         batch = full.filter((F.col("lsn") >= k * 1000) & (F.col("lsn") < (k + 1) * 1000))
-        t.merge_batch(batch, f"b{k}")
+        t.merge_batch(batch, f"b{k}", mode=mode)
     assert_df_equal(t.read(), changegen.expected_final_state(full))
     # lineage: commit log recorded all four batches with lsn ranges
     m = t.manifest
@@ -107,12 +109,12 @@ def test_delete_then_late_update_stays_deleted(spark, tmp_path):
     def df(rows):
         return spark.createDataFrame(rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
 
-    t.merge_batch(df([("c1", 0, "user", "hello", None, "2024-01-01 10:00:00", 1, "I")]), "b1")
-    t.merge_batch(df([("c1", 0, None, None, None, "2024-01-01 12:00:00", 2, "D")]), "b2")
-    t.merge_batch(df([("c1", 0, "user", "late", None, "2024-01-01 11:00:00", 3, "U")]), "b3")
+    t.merge_batch(df([("c1", 0, "user", "hello", None, "2024-01-01 10:00:00", 1, "I")]), "b1", mode="cow")
+    t.merge_batch(df([("c1", 0, None, None, None, "2024-01-01 12:00:00", 2, "D")]), "b2", mode="mor")
+    t.merge_batch(df([("c1", 0, "user", "late", None, "2024-01-01 11:00:00", 3, "U")]), "b3", mode="cow")
     assert t.read().count() == 0
     # ...but a genuinely newer update does resurrect
-    t.merge_batch(df([("c1", 0, "user", "reborn", None, "2024-01-01 13:00:00", 4, "U")]), "b4")
+    t.merge_batch(df([("c1", 0, "user", "reborn", None, "2024-01-01 13:00:00", 4, "U")]), "b4", mode="mor")
     out = t.read().collect()
     assert len(out) == 1 and out[0]["text"] == "reborn"
 
@@ -190,6 +192,23 @@ def test_overwrite_full_refresh(spark, tmp_path):
     got = t.read()
     expect = changegen.expected_final_state(fresh.withColumn("op", F.lit("I")))
     assert_df_equal(got, expect)
+
+
+def test_mor_auto_compaction_bounds_deltas(spark, tmp_path):
+    """MOR deltas accumulate per bucket until compact_threshold, then
+    the offending buckets fold to base — state never changes."""
+    t = make_table(spark, tmp_path, n_buckets=2)
+    full = changegen.changes(spark, 1200, seed=12)
+    for k in range(12):
+        t.merge_batch(
+            full.filter((F.col("lsn") >= k * 100) & (F.col("lsn") < (k + 1) * 100)),
+            f"b{k}", mode="mor", compact_threshold=4,
+        )
+    m = t.manifest
+    for b, entries in m.bucket_files.items():
+        n_delta = sum(1 for _, _, tier in entries if tier == "delta")
+        assert n_delta <= 4 + 1, f"bucket {b} has {n_delta} deltas"
+    assert_df_equal(t.read(), changegen.expected_final_state(full))
 
 
 def test_compact_preserves_state(spark, tmp_path):
