@@ -72,10 +72,11 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sign(vec_col, plane: int) -> F.Column:
+def hyperplane_sign(vec_col, plane) -> F.Column:
     """Sign of <v, w_plane> where w_plane[d] = ±1 derived from
     md5(plane || '_' || d) — a deterministic, data-independent random
-    hyperplane reproducible in any engine with md5."""
+    hyperplane reproducible in any engine with md5. ``plane`` is any
+    int/str label (multi-table LSH namespaces planes per table)."""
     prods = F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x, i: x.cast("double")
@@ -97,37 +98,65 @@ def lsh_buckets(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
-    """Random-hyperplane LSH: n_planes sign bits → bucket id. Vectors
-    in the same bucket are ANN candidates; search becomes a bucket
-    equi-join instead of a cross join."""
+    """Random-hyperplane LSH: n_planes sign bits → bucket id (one hash
+    table; ``table`` namespaces the planes so multiple independent
+    tables can be built). Vectors in the same bucket are ANN
+    candidates; search becomes a bucket equi-join, not a cross join."""
     bucket = None
     for p in range(n_planes):
-        bit = F.when(hyperplane_sign(vec_col, p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        label = p if table == 0 else f"t{table}p{p}"
+        bit = F.when(hyperplane_sign(vec_col, label) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return vectors.select(
         F.col(id_col).alias("vec_id_out"), bucket.cast("int").alias("bucket")
     ).withColumnRenamed("vec_id_out", id_col)
 
 
+def _bucket_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, neighbor_id) pairs sharing a bucket in ANY of the
+    n_tables hash tables — multi-probe union lifts recall from r to
+    1-(1-r)^L while candidate cost stays a union of equi-joins."""
+    out = None
+    for tbl in range(n_tables):
+        vb = lsh_buckets(vectors, n_planes, id_col, vec_col, table=tbl).select(
+            F.col(id_col).alias("neighbor_id"), "bucket"
+        )
+        qb = lsh_buckets(queries, n_planes, id_col, vec_col, table=tbl).select(
+            F.col(id_col).alias("query_id"), "bucket"
+        )
+        cand = qb.join(vb, "bucket").select("query_id", "neighbor_id")
+        out = cand if out is None else out.unionAll(cand)
+    return out.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN via LSH buckets: candidates share the query's bucket, then
-    exact cosine re-rank within bucket. Recall < 1 by construction —
-    the benchmarkable tradeoff vs brute_force_topk."""
-    vb = lsh_buckets(vectors, n_planes, id_col, vec_col).join(vectors, id_col)
-    qb = lsh_buckets(queries, n_planes, id_col, vec_col).join(queries, id_col)
-    q = qb.select(F.col(id_col).alias("query_id"), F.col("bucket"), F.col(vec_col).alias("qv"))
-    v = vb.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"), F.col(vec_col).alias("nv"))
+    """ANN via multi-table LSH: candidates share a bucket in any
+    table, then exact cosine re-rank. Recall < 1 by construction — the
+    benchmarkable tradeoff vs brute_force_topk (tune n_planes down /
+    n_tables up for recall, the reverse for speed)."""
+    cand = _bucket_candidates(vectors, queries, n_planes, n_tables, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     scored = (
-        q.join(v, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(q, "query_id")
+        .join(v, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("sim"),
@@ -145,18 +174,22 @@ def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 6,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine: LSH bucket join →
-    exact cosine filter. The embedding analogue of MinHash-LSH."""
-    vb = lsh_buckets(vectors, n_planes, id_col, vec_col).join(vectors, id_col)
-    a = vb.select(F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("va"))
-    b = vb.select(F.col(id_col).alias("id_b"), F.col("bucket"), F.col(vec_col).alias("vb"))
+    """Near-duplicate pairs by embedding cosine: multi-table LSH
+    candidates → exact cosine filter. The embedding analogue of
+    MinHash-LSH (high-cosine pairs collide in some table w.h.p.)."""
+    cand = (
+        _bucket_candidates(vectors, vectors, n_planes, n_tables, id_col, vec_col)
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .withColumnsRenamed({"query_id": "id_a", "neighbor_id": "id_b"})
+    )
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
-        .distinct()
     )

@@ -1,0 +1,139 @@
+"""Row/column transforms re-expressing the reference's per-row petl
+pipeline (SURVEY §2.4, T1-T16) as vectorized column expressions —
+whole-stage-codegen'd, exact (no sampling heuristics).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# T9: bad-SRID remap table (ref: opendata/opendata.py:202-209)
+BAD_SRID_MAP = {300001: 2272, 300003: 2272, 300046: 2272, 300067: 2272, 300100: 2272}
+
+
+def sanitize_headers(df: DataFrame) -> DataFrame:
+    """T2/T11 (ref: postgres.py:184-197, airtable.py:62-63): lowercase,
+    '#'→'_', strip other punctuation, and objectid_N→objectid when no
+    objectid column exists."""
+    renames = {}
+    seen = set()
+    names = [c.lower() for c in df.columns]
+    for c, low in zip(df.columns, names):
+        new = low.replace("#", "_")
+        new = re.sub(r"[^a-z0-9_]", "", new)
+        if re.fullmatch(r"objectid_\d+", new) and "objectid" not in names:
+            new = "objectid"
+        while new in seen:  # collision guard
+            new += "_"
+        seen.add(new)
+        if new != c:
+            renames[c] = new
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def scrub_control_chars(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """T3 (ref: postgres/_cleanup.py:30-54 scans only 500 lines; we do
+    the exact vectorized pass): strip NUL and NBSP from string cols."""
+    cols = columns or [c for c, t in df.dtypes if t == "string"]
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.regexp_replace(F.col(c), "[\\x00\\u00a0]", ""))
+    return out
+
+
+def localize_naive_timestamps(
+    df: DataFrame, tz: str = "America/New_York", columns: list[str] | None = None
+) -> DataFrame:
+    """T4 (ref: postgres.py:327-341, oracle.py:197-221): interpret
+    naive timestamps as wall time in ``tz`` → UTC instants."""
+    cols = columns or [c for c, t in df.dtypes if t.startswith("timestamp")]
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.to_utc_timestamp(F.col(c).cast("timestamp_ntz").cast("timestamp"), tz))
+    return out
+
+
+def clean_for_remote(df: DataFrame, columns: list[str]) -> DataFrame:
+    """T5 (ref: ago/ago.py:436-474): strip non-ascii + '"<> characters,
+    coerce empty string to null."""
+    out = df
+    for c in columns:
+        cleaned = F.regexp_replace(F.col(c), "[^\\x20-\\x7E]|['\"<>]", "")
+        out = out.withColumn(c, F.when(cleaned == "", None).otherwise(cleaned))
+    return out
+
+
+def promote_multi_geometry(df: DataFrame, geom_col: str = "shape") -> DataFrame:
+    """T1 (ref: postgres.py:146-201): POLYGON→MULTIPOLYGON /
+    LINESTRING→MULTILINESTRING promotion on EWKT strings, preserving
+    any SRID= prefix; already-MULTI and EMPTY values untouched."""
+    g = F.col(geom_col)
+    srid = F.regexp_extract(g, r"^(SRID=\d+;)", 1)
+    body = F.regexp_replace(g, r"^SRID=\d+;", "")
+    promoted = (
+        F.when(body.rlike(r"^POLYGON\s*\("), F.concat(F.lit("MULTIPOLYGON ("), F.regexp_replace(body, r"^POLYGON\s*", ""), F.lit(")")))
+        .when(body.rlike(r"^LINESTRING\s*\("), F.concat(F.lit("MULTILINESTRING ("), F.regexp_replace(body, r"^LINESTRING\s*", ""), F.lit(")")))
+        .otherwise(body)
+    )
+    return df.withColumn(geom_col, F.when(g.isNull(), None).otherwise(F.concat(srid, promoted)))
+
+
+def extract_srid(df: DataFrame, geom_col: str = "shape", out_col: str = "srid") -> DataFrame:
+    """T7 (ref: ago.py:596-607, opendata.py:119-139): parse the
+    'SRID=n;' EWKT prefix into a column; exact, not first-1000-rows."""
+    return df.withColumn(
+        out_col,
+        F.regexp_extract(F.col(geom_col), r"^SRID=(\d+);", 1).cast("int"),
+    )
+
+
+def remap_bad_srid(df: DataFrame, srid_col: str = "srid") -> DataFrame:
+    """T9 (ref: opendata.py:202-209): dict-lookup remap of known-bad
+    SRIDs via a literal map — no join needed."""
+    mapping = F.create_map(*[F.lit(x) for kv in BAD_SRID_MAP.items() for x in kv])
+    return df.withColumn(
+        srid_col, F.coalesce(mapping[F.col(srid_col)], F.col(srid_col))
+    )
+
+
+def point_to_lat_lng(df: DataFrame, geom_col: str = "shape") -> DataFrame:
+    """T8 (ref: opendata.py:186-244): split 'SRID=n;POINT(x y)' EWKT
+    into lng/lat doubles (EMPTY → nulls); drops the geometry column
+    like the reference's final cutout."""
+    body = F.regexp_replace(F.col(geom_col), r"^SRID=\d+;", "")
+    x = F.regexp_extract(body, r"^POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 1)
+    y = F.regexp_extract(body, r"^POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 2)
+    return (
+        df.withColumn("lng", F.when(x == "", None).otherwise(x).cast("double"))
+        .withColumn("lat", F.when(y == "", None).otherwise(y).cast("double"))
+        .drop(geom_col)
+    )
+
+
+def json_encode_nested(df: DataFrame, columns: list[str]) -> DataFrame:
+    """T10 (ref: airtable.py:96-111, knack.py:120-135): nested
+    array/struct/map columns → JSON strings."""
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.to_json(F.col(c)))
+    return out
+
+
+def add_objectid(df: DataFrame, order_by: list[str]) -> DataFrame:
+    """T13 (ref: airtable.py:107-109 counter, oracle.py:370-375
+    NEXT_ROWID): dense surrogate ids. Window without partition is a
+    single-reducer op — fine for dimension-sized data, use
+    monotonically_increasing_id + zipWithIndex-style for big tables."""
+    from pyspark.sql import Window
+
+    return df.withColumn(
+        "objectid", F.row_number().over(Window.orderBy(*order_by))
+    )
+
+
+def empty_clone(df: DataFrame) -> DataFrame:
+    """T15 (ref: WHERE 1=0 temp-table clones, postgres.py:370-377)."""
+    return df.limit(0)

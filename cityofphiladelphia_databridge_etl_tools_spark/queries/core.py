@@ -104,10 +104,13 @@ def cdc_route_changes(spark, sf_dir):
     """Insert/update routing counts — set-wise replacement of the AGO
     per-row point query (U5, ago/ago.py:1064-1100)."""
     ev = _events(spark, sf_dir)
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id")
+    # half the customers "exist" in the target so BOTH routes appear
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("user_id"))
     )
-    routed = M.route_changes(ev, cust.withColumnRenamed("user_id", "user_id"), ["user_id"])
+    routed = M.route_changes(ev, cust, ["user_id"])
     return (
         routed.groupBy("_action")
         .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
@@ -368,7 +371,8 @@ CORE_REGISTRY = {
         SELECT CASE WHEN c.c_custkey IS NOT NULL THEN 'update' ELSE 'insert' END AS action,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
-        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        FROM events e LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) c
+          ON e.user_id = c.c_custkey
         GROUP BY 1
         """,
     ),

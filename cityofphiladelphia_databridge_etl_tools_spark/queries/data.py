@@ -81,7 +81,7 @@ def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN top-k (recall<1 tradeoff vs ann_cosine_topk)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_topk(emb, queries, k=5, n_planes=6)
+    return S.lsh_topk(emb, queries, k=5)
 
 
 # --------------------------------------------------------------- text ops

@@ -1,0 +1,195 @@
+"""Operator unit tests: transforms (T1-T16), sources/sinks, multimodal
+plumbing, similarity recall, and dedup behavior on crafted inputs."""
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from cityofphiladelphia_databridge_etl_tools_spark.operators import (
+    dedup as D,
+    multimodal as MM,
+    similarity as S,
+    transforms as TR,
+)
+from cityofphiladelphia_databridge_etl_tools_spark.sources import (
+    export_table_schema,
+    import_table_schema,
+    paged_rest_source,
+    read_csv,
+)
+from cityofphiladelphia_databridge_etl_tools_spark.sources.sinks import (
+    dead_letter,
+    publish_csv_gzip,
+)
+
+
+# ------------------------------------------------------------- transforms
+def test_sanitize_headers(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["Col#One", "OBJECTID_12", "ok"])
+    out = TR.sanitize_headers(df)
+    assert out.columns == ["col_one", "objectid", "ok"]
+
+
+def test_scrub_control_chars(spark):
+    df = spark.createDataFrame([("a\x00b c",)], ["s"])
+    assert TR.scrub_control_chars(df).collect()[0]["s"] == "abc"
+
+
+def test_promote_multi_geometry(spark):
+    rows = [
+        ("SRID=2272;POLYGON ((0 0, 1 0, 1 1, 0 0))",),
+        ("SRID=2272;MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",),
+        ("LINESTRING (0 0, 1 1)",),
+        ("SRID=2272;POINT (1 2)",),
+        (None,),
+    ]
+    out = [r["shape"] for r in TR.promote_multi_geometry(
+        spark.createDataFrame(rows, ["shape"])).collect()]
+    assert out[0] == "SRID=2272;MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))"
+    assert out[1] == rows[1][0]  # already MULTI untouched
+    assert out[2] == "MULTILINESTRING ((0 0, 1 1))"
+    assert out[3] == rows[3][0]  # points untouched
+    assert out[4] is None
+
+
+def test_srid_extract_and_remap(spark):
+    df = spark.createDataFrame(
+        [("SRID=300001;POINT (1 2)",), ("SRID=4326;POINT (3 4)",)], ["shape"]
+    )
+    out = TR.remap_bad_srid(TR.extract_srid(df)).collect()
+    assert [r["srid"] for r in out] == [2272, 4326]
+
+
+def test_point_to_lat_lng(spark):
+    df = spark.createDataFrame(
+        [("SRID=4326;POINT (-75.16 39.95)",), ("SRID=4326;MULTIPOINT EMPTY",)], ["shape"]
+    )
+    out = TR.point_to_lat_lng(df).collect()
+    assert out[0]["lng"] == -75.16 and out[0]["lat"] == 39.95
+    assert out[1]["lng"] is None and "shape" not in TR.point_to_lat_lng(df).columns
+
+
+def test_localize_naive_timestamps(spark):
+    df = spark.createDataFrame([("2024-01-15 12:00:00",)], ["t"]).withColumn(
+        "t", F.col("t").cast("timestamp_ntz")
+    )
+    out = TR.localize_naive_timestamps(df, "America/New_York").collect()[0]["t"]
+    # noon Eastern (UTC-5 in January) == 17:00 UTC; session TZ is UTC
+    assert out.hour == 17
+
+
+def test_clean_for_remote_and_json_encode(spark):
+    df = spark.createDataFrame([("héllo \"w<or>ld'", [1, 2])], ["s", "arr"])
+    out = TR.json_encode_nested(TR.clean_for_remote(df, ["s"]), ["arr"]).collect()[0]
+    assert out["s"] == "hllo world"
+    assert out["arr"] == "[1,2]"
+    empty = TR.clean_for_remote(spark.createDataFrame([("<>",)], ["s"]), ["s"]).collect()[0]
+    assert empty["s"] is None
+
+
+# ---------------------------------------------------------------- sources
+def test_read_csv_encoding_fallback(spark, tmp_path):
+    p = tmp_path / "latin.csv"
+    p.write_bytes(b"name,v\ncaf\xe9,1\n")  # latin-1 é, invalid utf-8
+    schema = T.StructType([
+        T.StructField("name", T.StringType()), T.StructField("v", T.IntegerType())
+    ])
+    out = read_csv(spark, str(p), schema=schema).collect()
+    assert out[0]["name"] == "café"
+
+
+def test_schema_export_roundtrip(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    doc = export_table_schema(df, ["id"])
+    schema, pks = import_table_schema(doc)
+    assert schema == df.schema and pks == ["id"]
+
+
+def test_paged_rest_source(spark):
+    def fake_fetch(offset):  # 2½ pages of 1000
+        n = min(1000, 2500 - offset)
+        return [{"id": offset + i, "v": f"row{offset + i}"} for i in range(n)]
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.StringType())
+    ])
+    df = paged_rest_source(spark, fake_fetch, schema)
+    assert df.count() == 2500
+    assert df.agg(F.max("id")).collect()[0][0] == 2499
+
+
+# ------------------------------------------------------------------ sinks
+def test_publish_csv_gzip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string").coalesce(1)
+    out = str(tmp_path / "pub")
+    publish_csv_gzip(df, out)
+    files = glob.glob(out + "/*.csv.gz")
+    assert len(files) == 1
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 2
+
+
+def test_dead_letter_sink(spark, tmp_path):
+    bad = spark.createDataFrame([(1, "boom")], "id int, _error string")
+    path = dead_letter(bad, str(tmp_path))
+    assert spark.read.parquet(path).count() == 1
+    assert "/_errors/" in path
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_meta_plumbing(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    media = MM.docs_as_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    out = {r["media_id"]: r for r in MM.extract_meta(media).collect()}
+    assert out[1]["n_bytes"] == 3 and out[1]["header_byte"] == ord("a")
+    assert out[1]["checksum"] == ord("a") + ord("b") + ord("c")
+    assert out[2]["n_bytes"] == 0 and out[2]["header_byte"] is None
+
+
+def test_multimodal_decode_stubs_raise(spark):
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    media = MM.docs_as_media(docs)
+    for fn in (MM.decode_image, MM.sample_video_frames, MM.decode_audio):
+        with pytest.raises(NotImplementedError):
+            fn(media)
+
+
+# ------------------------------------------------------------- similarity
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = S.lsh_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    recall = hits / exact.count()
+    assert recall >= 0.5, f"LSH recall {recall} too low (multi-table should lift it)"
+    # candidates actually restricted to buckets: approx must not exceed k per query
+    per_q = approx.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q <= 5
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (5, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in D.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_simhash_similar_docs_close(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r["id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])

@@ -1,0 +1,100 @@
+"""Plan-quality contracts: pushdown, pruning, broadcast, shuffle
+counts. These are the 100-TB guarantees — tested, not eyeballed."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from cityofphiladelphia_databridge_etl_tools_spark import changegen
+from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
+from cityofphiladelphia_databridge_etl_tools_spark.lake import LakeTable
+from cityofphiladelphia_databridge_etl_tools_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_pushed_filters,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+from cityofphiladelphia_databridge_etl_tools_spark.queries import REGISTRY
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_returnflag", "l_quantity"
+    )
+    assert has_pushed_filters(q, "l_shipdate")
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.select("l_returnflag", "l_quantity")
+    cols = scan_read_schema(q)
+    assert set(cols) == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    fn, _ = REGISTRY["q5_nation_revenue"]
+    assert uses_broadcast_join(fn(spark, sf_dir))
+
+
+def test_mor_merge_is_single_exchange(spark, tmp_path):
+    """The merge hot path: exactly one shuffle (the (bucket,salt)
+    exchange); the window and the write reuse its clustering."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8,
+    )
+    t.merge_batch(changegen.changes(spark, 500, seed=31), "b0")
+    # reconstruct the write-side plan the merge runs (same code path)
+    from cityofphiladelphia_databridge_etl_tools_spark.lake.schema import coerce_to
+    from cityofphiladelphia_databridge_etl_tools_spark.lake.table import _with_deleted
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.merge import (
+        bucket_expr, dedup_last_writer_colocated, salt_expr,
+    )
+
+    ch = changegen.changes(spark, 500, seed=31, lsn_start=500)
+    staged = coerce_to(
+        ch.withColumn("_deleted", F.col("op") == "D").drop("op"),
+        _with_deleted(t.schema()),
+    ).withColumn("_bucket", bucket_expr("conv_id", 8)).withColumn(
+        "_salt", salt_expr(4, "conv_id", "turn_idx")
+    )
+    winners = dedup_last_writer_colocated(
+        staged, ["conv_id", "turn_idx"], ["ts", "lsn"], ["_bucket", "_salt"]
+    )
+    assert count_exchanges(winners) == 1, formatted_plan(winners)
+
+
+def test_bucket_pruned_read_lists_only_touched_files(spark, tmp_path):
+    """Manifest-driven pruning: reading 1 bucket must reference only
+    that bucket's files in the scan."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8,
+    )
+    t.merge_batch(changegen.changes(spark, 2000, seed=32), "b0")
+    m = t.manifest
+    some_bucket = int(next(iter(m.bucket_files)))
+    pruned = t.read(buckets=[some_bucket])
+    full = t.read()
+    n_files_pruned = len(m.bucket_files[str(some_bucket)])
+    n_files_total = sum(len(v) for v in m.bucket_files.values())
+    assert n_files_pruned < n_files_total
+    # the pruned read returns exactly the rows whose key hashes there
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.merge import bucket_expr
+    expect = full.filter(bucket_expr("conv_id", 8) == some_bucket)
+    assert pruned.count() == expect.count()
+
+
+def test_read_after_compact_has_no_window(spark, tmp_path):
+    """Base-only tables skip the LWW resolve entirely — the read plan
+    contains no Window node."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=4,
+    )
+    t.merge_batch(changegen.changes(spark, 500, seed=33), "b0")
+    assert "Window" in formatted_plan(t.read())  # MOR deltas → resolve
+    t.compact()
+    assert "Window" not in formatted_plan(t.read())
