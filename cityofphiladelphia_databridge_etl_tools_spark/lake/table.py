@@ -439,6 +439,33 @@ class LakeTable:
         )
         return rec
 
+    def lineage(self) -> DataFrame:
+        """The commit log as a DataFrame — per-batch lsn ranges, row
+        counts, merge stats, touched buckets (the reference's
+        everywhere-recounts A1/A2 collapsed into queryable metadata;
+        observe()-collected, so none of it cost an extra job)."""
+        m = self.manifest
+        rows = [
+            {
+                "batch_id": c.batch_id,
+                "lsn_lo": c.lsn_lo,
+                "lsn_hi": c.lsn_hi,
+                "rows_in": c.rows_in,
+                "rows_deduped": c.rows_deduped,
+                "rows_upserted": c.rows_upserted,
+                "rows_deleted": c.rows_deleted,
+                "n_touched_buckets": len(c.touched_buckets),
+                "committed_at": float(c.committed_at),
+            }
+            for c in m.commits
+        ]
+        schema = (
+            "batch_id string, lsn_lo long, lsn_hi long, rows_in long, "
+            "rows_deduped long, rows_upserted long, rows_deleted long, "
+            "n_touched_buckets int, committed_at double"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def compact(
         self,
         buckets: list[int] | None = None,

@@ -87,6 +87,72 @@ def cdc_replay_merge(spark, sf_dir):
     return t.read().select("conv_id", "turn_idx", "role", "text", "ts", "lsn")
 
 
+def cdc_schema_evolution(spark, sf_dir):
+    """Schema evolution through the REAL engine: the first half of the
+    stream arrives without the `role` column (pre-evolution batches),
+    the second half with it; the table evolves in place and old rows
+    read as null. Oracle: one-shot SQL replay with role nulled below
+    the split."""
+    from ..lake import LakeTable
+    from pyspark.sql import types as T
+
+    ch = _as_changes(_events(spark, sf_dir))
+    split = ch.agg(((F.max("lsn") + 1) / 2).cast("long")).collect()[0][0]
+    narrow = ch.filter(F.col("lsn") < split).drop("role")
+    wide = ch.filter(F.col("lsn") >= split)
+    schema = T.StructType([f for f in ch.schema.fields if f.name not in ("op", "role")])
+    root = tempfile.mkdtemp(prefix="cdc_evo_") + "/t"
+    t = LakeTable.create(spark, root, schema, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8)
+    t.merge_batch(narrow, "evo-0")
+    t.merge_batch(wide, "evo-1")
+    return t.read().select("conv_id", "turn_idx", "role", "text", "ts", "lsn")
+
+
+def cdc_full_refresh(spark, sf_dir):
+    """Truncate-and-reload through the engine (ref: postgres.py:421-448
+    truncate+load, carto replace-and-swap carto_.py:471-490): load the
+    LWW state of the first half, then overwrite_full with the deduped
+    second half — final table is exactly the second half's state."""
+    from ..lake import LakeTable
+    from pyspark.sql import types as T
+
+    ch = _as_changes(_events(spark, sf_dir))
+    split = ch.agg(((F.max("lsn") + 1) / 2).cast("long")).collect()[0][0]
+    schema = T.StructType([f for f in ch.schema.fields if f.name != "op"])
+    root = tempfile.mkdtemp(prefix="cdc_refresh_") + "/t"
+    t = LakeTable.create(spark, root, schema, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8)
+    t.merge_batch(ch.filter(F.col("lsn") < split), "load-0")
+    fresh = (
+        M.dedup_last_writer(ch.filter(F.col("lsn") >= split), ["conv_id", "turn_idx"], ["ts", "lsn"])
+        .filter(F.col("op") != "D")
+        .drop("op")
+    )
+    t.overwrite_full(fresh, "refresh-0")
+    return t.read().select("conv_id", "turn_idx", "role", "text", "ts", "lsn")
+
+
+def cdc_compacted_state(spark, sf_dir):
+    """Merge in 4 batches then compact (tombstone GC + delta fold) —
+    the read-back state must be unchanged by maintenance; same oracle
+    as cdc_replay_merge."""
+    from ..lake import LakeTable
+    from pyspark.sql import types as T
+
+    ch = _as_changes(_events(spark, sf_dir))
+    schema = T.StructType([f for f in ch.schema.fields if f.name != "op"])
+    root = tempfile.mkdtemp(prefix="cdc_compact_") + "/t"
+    t = LakeTable.create(spark, root, schema, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8)
+    hi = ch.agg(F.max("lsn")).collect()[0][0] + 1
+    step = (hi + 3) // 4
+    for k in range(4):
+        t.merge_batch(
+            ch.filter((F.col("lsn") >= k * step) & (F.col("lsn") < (k + 1) * step)),
+            f"c-{k}",
+        )
+    t.compact()
+    return t.read().select("conv_id", "turn_idx", "role", "text", "ts", "lsn")
+
+
 def cdc_window_dedup(spark, sf_dir):
     """Window dedup keep-newest per (user, type) — operator U8."""
     ev = _events(spark, sf_dir)
@@ -214,6 +280,56 @@ def t_surrogate_key(spark, sf_dir):
     return d.select("doc_id", "source").withColumn(
         "objectid", F.row_number().over(w)
     )
+
+
+def _synthetic_geoms(spark, sf_dir):
+    """Deterministic EWKT shapes derived from doc_id (testdata has no
+    geometry column; integer-only coordinates keep string rendering
+    identical across engines)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    x = (F.col("doc_id") % 360 - 180).cast("long").cast("string")
+    y = (F.col("doc_id") % 180 - 90).cast("long").cast("string")
+    shape = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("SRID=300001;POINT ("), x, F.lit(" "), y, F.lit(")")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("SRID=4326;POLYGON ((0 0, "), x, F.lit(" 0, "), x,
+                       F.lit(" "), y, F.lit(", 0 0))")))
+        .otherwise(F.lit("SRID=4326;MULTIPOINT EMPTY"))
+    )
+    return d.withColumn("shape", shape)
+
+
+_GEOM_SQL = """
+  geoms AS (
+    SELECT doc_id,
+      CASE
+        WHEN doc_id % 3 = 0 THEN 'SRID=300001;POINT (' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' ' || CAST(doc_id % 180 - 90 AS VARCHAR) || ')'
+        WHEN doc_id % 3 = 1 THEN 'SRID=4326;POLYGON ((0 0, ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' 0, ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' ' || CAST(doc_id % 180 - 90 AS VARCHAR) || ', 0 0))'
+        ELSE 'SRID=4326;MULTIPOINT EMPTY' END AS shape
+    FROM documents
+  )
+"""
+
+
+def t_geometry_promote(spark, sf_dir):
+    """T1+T7+T9 chained (ref: postgres.py:146-201 multi-promotion,
+    opendata.py:119-209 SRID handling): extract SRID, remap bad codes,
+    promote POLYGON→MULTIPOLYGON."""
+    from ..operators import transforms as TR
+
+    g = _synthetic_geoms(spark, sf_dir)
+    out = TR.promote_multi_geometry(TR.remap_bad_srid(TR.extract_srid(g)))
+    return out.select("doc_id", "srid", "shape")
+
+
+def t_point_latlng(spark, sf_dir):
+    """T8 (ref: opendata.py:186-244): EWKT POINT → lat/lng doubles,
+    EMPTY/non-point → nulls, geometry column dropped."""
+    from ..operators import transforms as TR
+
+    g = _synthetic_geoms(spark, sf_dir)
+    return TR.point_to_lat_lng(g).select("doc_id", "lat", "lng")
 
 
 # ---------------------------------------------------------------- analytics
@@ -355,6 +471,36 @@ CORE_REGISTRY = {
         """,
     ),
     "cdc_replay_merge": (cdc_replay_merge, _FINAL_STATE_SQL),
+    "cdc_compacted_state": (cdc_compacted_state, _FINAL_STATE_SQL),
+    "cdc_schema_evolution": (
+        cdc_schema_evolution,
+        f"""
+        WITH c0 AS ({_CHANGES_SQL}),
+        split AS (SELECT CAST((max(lsn) + 1) / 2 AS BIGINT) AS s FROM c0),
+        c AS (SELECT conv_id, turn_idx,
+                     CASE WHEN lsn < (SELECT s FROM split) THEN NULL ELSE role END AS role,
+                     text, ts, lsn, op
+              FROM c0),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM c)
+        SELECT conv_id, turn_idx, role, text, ts, lsn
+        FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+    ),
+    "cdc_full_refresh": (
+        cdc_full_refresh,
+        f"""
+        WITH c0 AS ({_CHANGES_SQL}),
+        split AS (SELECT CAST((max(lsn) + 1) / 2 AS BIGINT) AS s FROM c0),
+        c AS (SELECT * FROM c0 WHERE lsn >= (SELECT s FROM split)),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM c)
+        SELECT conv_id, turn_idx, role, text, ts, lsn
+        FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+    ),
     "cdc_window_dedup": (
         cdc_window_dedup,
         """
@@ -449,6 +595,47 @@ CORE_REGISTRY = {
         SELECT doc_id, source,
                CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS objectid
         FROM documents
+        """,
+    ),
+    "t_geometry_promote": (
+        t_geometry_promote,
+        f"""
+        WITH {_GEOM_SQL},
+        e AS (
+          SELECT doc_id, shape,
+                 CASE WHEN regexp_extract(shape, '^SRID=(\\d+);', 1) = '' THEN NULL
+                      ELSE CAST(regexp_extract(shape, '^SRID=(\\d+);', 1) AS INT) END AS srid0,
+                 regexp_extract(shape, '^(SRID=\\d+;)', 1) AS pfx,
+                 regexp_replace(shape, '^SRID=\\d+;', '') AS body
+          FROM geoms
+        )
+        SELECT doc_id,
+               CASE WHEN srid0 = 300001 THEN 2272 ELSE srid0 END AS srid,
+               pfx || CASE
+                 WHEN regexp_matches(body, '^POLYGON\\s*\\(')
+                   THEN 'MULTIPOLYGON (' || regexp_replace(body, '^POLYGON\\s*', '') || ')'
+                 WHEN regexp_matches(body, '^LINESTRING\\s*\\(')
+                   THEN 'MULTILINESTRING (' || regexp_replace(body, '^LINESTRING\\s*', '') || ')'
+                 ELSE body END AS shape
+        FROM e
+        """,
+    ),
+    "t_point_latlng": (
+        t_point_latlng,
+        f"""
+        WITH {_GEOM_SQL},
+        e AS (
+          SELECT doc_id,
+                 regexp_extract(regexp_replace(shape, '^SRID=\\d+;', ''),
+                                '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 1) AS xs,
+                 regexp_extract(regexp_replace(shape, '^SRID=\\d+;', ''),
+                                '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 2) AS ys
+          FROM geoms
+        )
+        SELECT doc_id,
+               CASE WHEN ys = '' THEN NULL ELSE CAST(ys AS DOUBLE) END AS lat,
+               CASE WHEN xs = '' THEN NULL ELSE CAST(xs AS DOUBLE) END AS lng
+        FROM e
         """,
     ),
     "q1_pricing_summary": (
