@@ -55,24 +55,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash band signatures: per (id, band), the concatenation of
     ``rows_per_band`` min-hashes. min(md5(salt || shingle)) is a valid
-    min-hash family because md5 output order is uniform on strings."""
-    hashes = sh.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.lit(r).alias("row"),
-                    F.md5(F.concat_ws("_", F.lit(b), F.lit(r), F.col("shingle"))).alias("h"),
-                )
-                for b in range(n_bands)
+    min-hash family because md5 output order is uniform on strings.
+
+    All n_bands*rows_per_band mins are computed as aggregates of ONE
+    groupBy over the shingle set (map-side partial aggregation, no
+    row-multiplying explode) — at n rows this is n, not n*bands*rows.
+    """
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("_", F.lit(b), F.lit(r), F.col("shingle")))
+            ).alias(f"mh_{b}_{r}")
+            for b in range(n_bands)
+            for r in range(rows_per_band)
+        ]
+    )
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[
+                F.concat_ws(":", F.lit(str(r)), F.col(f"mh_{b}_{r}"))
                 for r in range(rows_per_band)
-            ])
-        ).alias("x"),
-    ).select("id", "x.band", "x.row", "x.h")
-    per_row = hashes.groupBy("id", "band", "row").agg(F.min("h").alias("minh"))
-    return per_row.groupBy("id", "band").agg(
-        F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("row").cast("string"), F.col("minh"))))).alias("sig")
+            ]).alias("sig"),
+        )
+        for b in range(n_bands)
+    ])
+    return mins.select("id", F.explode(bands).alias("x")).select(
+        "id", "x.band", "x.sig"
     )
 
 
@@ -103,15 +112,29 @@ def jaccard_pairs(
             .select("shingle")
         )
         join_sh = sh.join(rare, "shingle")
-    a = join_sh.alias("a")
-    b = join_sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if pairs is not None:
-        common = common.join(pairs, ["id_a", "id_b"])
+        # verify-only-candidates: semi-join each side down to docs that
+        # appear in a candidate pair BEFORE the shingle self-join — the
+        # self-join blowup is sum(df²) over all shingles otherwise,
+        # O(candidate docs) after. Then keep only candidate pairs
+        # before aggregating.
+        a_side = join_sh.join(pairs.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi")
+        b_side = join_sh.join(pairs.select(F.col("id_b").alias("id")).distinct(), "id", "left_semi")
+        a, b = a_side.alias("a"), b_side.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .join(pairs, ["id_a", "id_b"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a, b = join_sh.alias("a"), join_sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (

@@ -227,6 +227,18 @@ def test_compact_preserves_state(spark, tmp_path):
     assert t.read(include_deleted=True).filter(F.col("_deleted")).count() == 0
 
 
+def test_extract_upsert_roundtrip_invariance(spark, tmp_path):
+    """The reference's key invariance test (tests/test_postgres.py:83-86):
+    extract the table, upsert the extract back into itself, re-extract
+    → recorddiff added==0 and subtracted==0."""
+    t = make_table(spark, tmp_path)
+    t.merge_batch(changegen.changes(spark, 1500, seed=10), "b1")
+    before = t.read()
+    extract = before.withColumn("op", F.lit("U"))  # the "CSV extract"
+    t.merge_batch(extract, "roundtrip")
+    assert_df_equal(t.read(), before)
+
+
 def test_per_turn_text_equality(spark, tmp_path):
     """The input_hint invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering vs the oracle replay."""
