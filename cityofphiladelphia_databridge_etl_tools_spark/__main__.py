@@ -1,0 +1,134 @@
+"""CLI entrypoint — the engine's analogue of the reference's click CLI
+(databridge_etl_tools/cli.py): table DDL, batch/windowed ingest,
+streaming tail, maintenance, and inspection, all runnable under plain
+``python -m`` or ``spark-submit --py-files dist/<pkg>.zip run_cli.py``.
+
+    create  --root R --keys conv_id,turn_idx [--order-cols ts,lsn] [--n-buckets 16]
+            --schema 'conv_id string, turn_idx int, ...'
+    ingest  --root R --changes PATH.parquet [--batch-id ID] [--mode mor|cow]
+    run     --root R --generate N [--events-per-batch M]      (windowed demo feed)
+    stream  --root R --changes-dir DIR --checkpoint DIR
+    compact --root R [--buckets 1,2,3]
+    show    --root R                                          (manifest + lineage)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import changegen
+from .lake import LakeTable
+from .session import get_spark
+from .streaming.runner import LsnWindowRunner
+
+
+def _schema_from_ddl(ddl: str) -> T.StructType:
+    return T.StructType.fromDDL(ddl)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="databridge-spark", description=__doc__)
+    p.add_argument("--cores", default=None, help="local[N] parallelism")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="create a lake table")
+    c.add_argument("--root", required=True)
+    c.add_argument("--schema", help="DDL string; default = transcript schema")
+    c.add_argument("--keys", default="conv_id,turn_idx")
+    c.add_argument("--order-cols", default="ts,lsn")
+    c.add_argument("--n-buckets", type=int, default=16)
+
+    i = sub.add_parser("ingest", help="merge one change batch (parquet)")
+    i.add_argument("--root", required=True)
+    i.add_argument("--changes", required=True)
+    i.add_argument("--batch-id", default=None)
+    i.add_argument("--mode", default="mor", choices=["mor", "cow"])
+    i.add_argument("--on-bad-rows", default="fail", choices=["fail", "dead_letter"])
+
+    r = sub.add_parser("run", help="windowed ingest of a generated demo stream")
+    r.add_argument("--root", required=True)
+    r.add_argument("--generate", type=int, required=True, help="number of events")
+    r.add_argument("--events-per-batch", type=int, default=1_000_000)
+    r.add_argument("--seed", type=int, default=42)
+
+    s = sub.add_parser("stream", help="tail a directory of change files")
+    s.add_argument("--root", required=True)
+    s.add_argument("--changes-dir", required=True)
+    s.add_argument("--checkpoint", required=True)
+
+    k = sub.add_parser("compact", help="fold deltas / GC tombstones")
+    k.add_argument("--root", required=True)
+    k.add_argument("--buckets", default=None, help="comma-separated; default all")
+
+    w = sub.add_parser("show", help="manifest summary + lineage")
+    w.add_argument("--root", required=True)
+
+    args = p.parse_args(argv)
+    spark = get_spark("databridge-spark-cli", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "create":
+        schema = (
+            _schema_from_ddl(args.schema) if args.schema else changegen.TRANSCRIPT_SCHEMA
+        )
+        LakeTable.create(
+            spark, args.root, schema,
+            key_columns=args.keys.split(","),
+            order_columns=args.order_cols.split(","),
+            n_buckets=args.n_buckets,
+        )
+        print(f"created {args.root}")
+    elif args.cmd == "ingest":
+        t = LakeTable(spark, args.root)
+        changes = spark.read.parquet(args.changes)
+        bid = args.batch_id or f"cli-{abs(hash(args.changes)) % 10**10}"
+        rec = t.merge_batch(changes, bid, mode=args.mode, on_bad_rows=args.on_bad_rows)
+        if rec is None:
+            print(f"batch {bid} already committed — no-op")
+        else:
+            print(
+                f"committed {bid}: in={rec.rows_in} upserts={rec.rows_upserted} "
+                f"deletes={rec.rows_deleted} lsn=({rec.lsn_lo},{rec.lsn_hi}]"
+            )
+    elif args.cmd == "run":
+        t = LakeTable(spark, args.root)
+        runner = LsnWindowRunner(
+            t,
+            lambda lo, hi: changegen.changes(spark, hi - lo, seed=args.seed, lsn_start=lo),
+            events_per_batch=args.events_per_batch,
+        )
+        recs = runner.run_until(args.generate)
+        print(f"applied {len(recs)} windows; resume_lsn={runner.resume_lsn()}; "
+              f"rows={t.read().count()}")
+    elif args.cmd == "stream":
+        from .streaming.pipeline import stream_changes_into_table
+
+        t = LakeTable(spark, args.root)
+        q = stream_changes_into_table(spark, args.changes_dir, t, args.checkpoint)
+        q.awaitTermination()
+        print(f"stream drained; table rows={t.read().count()}")
+    elif args.cmd == "compact":
+        t = LakeTable(spark, args.root)
+        buckets = [int(b) for b in args.buckets.split(",")] if args.buckets else None
+        t.compact(buckets=buckets)
+        print("compacted")
+    elif args.cmd == "show":
+        t = LakeTable(spark, args.root)
+        m = t.manifest
+        n_files = sum(len(v) for v in m.bucket_files.values())
+        n_delta = sum(1 for v in m.bucket_files.values() for e in v if e[2] == "delta")
+        print(
+            f"version={m.version} buckets={m.n_buckets} keys={m.key_columns} "
+            f"order={m.order_columns} schema_v={m.schema_versions[-1].version} "
+            f"files={n_files} (delta={n_delta}) commits={len(m.commits)}"
+        )
+        t.lineage().orderBy("committed_at").show(50, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -170,6 +170,7 @@ class LakeTable:
         n_salt: int = 4,
         mode: str = "mor",
         compact_threshold: int = 16,
+        on_bad_rows: str = "fail",
     ) -> CommitRecord | None:
         """Apply one CDC microbatch exactly-once.
 
@@ -186,6 +187,8 @@ class LakeTable:
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        if on_bad_rows not in ("fail", "dead_letter"):
+            raise ValueError(f"unknown on_bad_rows policy {on_bad_rows!r}")
         m = self.manifest
         if batch_id in m.applied_batch_ids:
             return None
@@ -193,8 +196,25 @@ class LakeTable:
             raise ValueError("changes must carry an 'op' column (I/U/D)")
         keys, order_cols = m.key_columns, m.order_columns
 
+        # bad rows: unknown op, or null key/order columns. They are
+        # filtered in-plan and COUNTED by the same observation that
+        # rides the main write job (zero extra jobs on the happy path);
+        # if any existed, we either abort BEFORE the commit point
+        # (files orphan, replay reconverges) or dead-letter them with
+        # one extra job (ref: AGO error-row sink, ago/ago.py:319-344 —
+        # the pipeline continues).
+        # null ORDER columns are legal (desc_nulls_last: they just lose
+        # ties); only unknown ops and null KEYS are malformed.
+        bad_cond = ~F.col(OP_COL).isin("I", "U", "D")
+        for c in keys:
+            bad_cond = bad_cond | F.col(c).isNull()
+        raw_changes = changes
+        changes = changes.withColumn("_bad", bad_cond)
+
         # -- schema evolution on the incoming payload shape
-        payload_schema = T.StructType([f for f in changes.schema.fields if f.name != OP_COL])
+        payload_schema = T.StructType(
+            [f for f in changes.schema.fields if f.name not in (OP_COL, "_bad")]
+        )
         current = self.schema(m)
         new_schema = evolve_schema(current, payload_schema)
         schema_versions = list(m.schema_versions)
@@ -211,9 +231,10 @@ class LakeTable:
         staged = changes.observe(
             obs_in,
             F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lsn_lo"),
-            F.max("lsn").alias("lsn_hi"),
-        )
+            F.sum(F.col("_bad").cast("long")).alias("n_bad"),
+            F.min(F.when(~F.col("_bad"), F.col("lsn"))).alias("lsn_lo"),
+            F.max(F.when(~F.col("_bad"), F.col("lsn"))).alias("lsn_hi"),
+        ).filter(~F.col("_bad")).drop("_bad")
         staged = coerce_to(
             staged.withColumn(DELETED_COL, F.col(OP_COL) == F.lit("D")).drop(OP_COL),
             stored_schema,
@@ -232,6 +253,7 @@ class LakeTable:
             )
             if not touched:  # empty batch still commits (advances the log)
                 persisted.unpersist()
+                self._handle_bad_rows(obs_in, raw_changes, bad_cond, batch_id, on_bad_rows)
                 return self._commit_empty(m, batch_id, schema_versions)
             target = coerce_to(
                 self.read(buckets=touched, include_deleted=True, manifest=m),
@@ -270,6 +292,9 @@ class LakeTable:
         )
         if persisted is not None:
             persisted.unpersist()
+        # bad rows surfaced by the write's observation: abort (before
+        # the commit point — the just-written files orphan) or capture
+        n_bad = self._handle_bad_rows(obs_in, raw_changes, bad_cond, batch_id, on_bad_rows)
         if mode == "mor":
             touched = sorted(int(b) for b in new_files)
             if not touched:
@@ -291,7 +316,7 @@ class LakeTable:
             batch_id=batch_id,
             lsn_lo=int(in_metrics["lsn_lo"]),
             lsn_hi=int(in_metrics["lsn_hi"]),
-            rows_in=int(in_metrics["n"]),
+            rows_in=int(in_metrics["n"]) - n_bad,
             rows_deduped=int(out_metrics["from_batch"]),
             rows_upserted=int(out_metrics["from_batch"]) - int(out_metrics["deletes"] or 0),
             rows_deleted=int(out_metrics["deletes"] or 0),
@@ -320,6 +345,36 @@ class LakeTable:
             if over:
                 self.compact(buckets=over, gc_tombstones=False)
         return rec
+
+    def _handle_bad_rows(
+        self, obs_in: Observation, raw_changes: DataFrame, bad_cond, batch_id: str, policy: str
+    ) -> int:
+        """Post-job bad-row policy. Returns the bad count. Called
+        strictly BEFORE the manifest commit, so a 'fail' leaves only
+        orphan files and a replay reconverges."""
+        try:
+            n_bad = int(obs_in.get["n_bad"] or 0)
+        except Exception:
+            # a zero-task job (everything filtered) can leave the
+            # observation unpopulated — fall back to counting directly
+            n_bad = raw_changes.filter(bad_cond).count()
+        if not n_bad:
+            return 0
+        if policy == "fail":
+            raise ValueError(
+                f"batch {batch_id!r}: {n_bad} invalid rows (op not in I/U/D "
+                f"or null key column); nothing was committed. Pass "
+                f"on_bad_rows='dead_letter' to capture them and continue."
+            )
+        from ..sources.sinks import dead_letter
+
+        dead_letter(
+            raw_changes.filter(bad_cond).withColumn(
+                "_error", F.lit(f"invalid op or null key/order column (batch {batch_id})")
+            ),
+            self.store.root,
+        )
+        return n_bad
 
     def _commit_empty(
         self, m: Manifest, batch_id: str, schema_versions: list[SchemaVersion]
