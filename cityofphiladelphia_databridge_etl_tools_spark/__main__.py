@@ -85,7 +85,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "ingest":
         t = LakeTable(spark, args.root)
         changes = spark.read.parquet(args.changes)
-        bid = args.batch_id or f"cli-{abs(hash(args.changes)) % 10**10}"
+        # default batch id must be stable across PROCESSES for
+        # exactly-once (Python hash() is salted per run) → md5 of path
+        import hashlib
+
+        bid = args.batch_id or f"cli-{hashlib.md5(args.changes.encode()).hexdigest()[:12]}"
         rec = t.merge_batch(changes, bid, mode=args.mode, on_bad_rows=args.on_bad_rows)
         if rec is None:
             print(f"batch {bid} already committed — no-op")

@@ -62,6 +62,7 @@ def changes(
     with_tool_col: bool = True,
     lsn_start: int = 0,
     num_partitions: int | None = None,
+    text_chars: int = 0,
 ) -> DataFrame:
     """The CDC stream: one row per change event, lsn strictly increasing.
 
@@ -86,12 +87,20 @@ def changes(
         F.array(*[F.lit(r) for r in ROLES]), (F.pmod(_h(seed + 7, i), F.lit(4)) + 1).cast("int")
     )
     # text is a pure function of (conv, turn, lsn): per-turn text
-    # equality vs the oracle is checkable byte-for-byte.
+    # equality vs the oracle is checkable byte-for-byte. text_chars
+    # pads to realistic transcript size with seeded hash material
+    # (128 distinct chars repeated — mildly compressible, like prose).
     text = F.concat(
         F.lit("turn "), turn_idx.cast("string"), F.lit(" of "), conv_id,
         F.lit(" rev "), i.cast("string"), F.lit(" :: "),
         F.lower(F.hex(_h(seed + 8, i))),
     )
+    if text_chars > 0:
+        chunk = F.concat(*[F.lower(F.hex(_h(seed + 20 + j, i))) for j in range(8)])
+        text = F.rpad(
+            F.concat(text, F.lit(" "), F.repeat(chunk, max(1, text_chars // 128))),
+            text_chars, "x",
+        )
     tool = F.when(role == "tool", F.concat(F.lit("tool_"), F.pmod(_h(seed + 9, i), F.lit(7)).cast("string")))
     jitter = F.pmod(_h(seed + 10, i), F.lit(2 * ts_jitter_s)) - F.lit(ts_jitter_s)
     ts = F.timestamp_seconds(F.lit(BASE_EPOCH) + i + jitter)

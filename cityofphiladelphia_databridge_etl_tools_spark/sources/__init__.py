@@ -30,6 +30,9 @@ def read_csv(
     in a sample, re-read as ``encoding_fallback``."""
     from pyspark.sql import functions as F
 
+    # RFC4180 doubled-quote escaping (petl/Excel-style, what the
+    # reference's staging CSVs use) — Spark's default escape is '\\'
+    options.setdefault("escape", '"')
     base = spark.read.options(header=True, **options)
     if schema is not None:
         base = base.schema(schema)
