@@ -457,6 +457,44 @@ def asof_last_signup(spark, sf_dir):
     )
 
 
+def pivot_user_events(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (the wide-format export
+    shape open-data consumers ask for)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def rollup_pricing(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total
+    rows, exact decimal accumulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_quantity").cast("decimal(18,4)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def percentiles_value(spark, sf_dir):
+    """Exact continuous percentiles of value per event_type (Spark
+    `percentile` == DuckDB `quantile_cont`, both linear-interpolated)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 # ------------------------------------------------------------ oracle SQL
 CORE_REGISTRY = {
     "cdc_upsert_state": (
@@ -698,6 +736,38 @@ CORE_REGISTRY = {
                        ORDER BY round(revenue, 4) DESC, p_partkey ASC) AS rank
               FROM agg)
         WHERE rank <= 3
+        """,
+    ),
+    "pivot_user_events": (
+        pivot_user_events,
+        """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY user_id
+        """,
+    ),
+    "rollup_pricing": (
+        rollup_pricing,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+    ),
+    "percentiles_value": (
+        percentiles_value,
+        """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
         """,
     ),
     "sessionize_events": (
