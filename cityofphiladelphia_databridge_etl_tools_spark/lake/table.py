@@ -132,20 +132,23 @@ class LakeTable:
         stored_current = _with_deleted(current)
 
         wanted = {str(b) for b in buckets} if buckets is not None else None
-        by_version: dict[int, list[str]] = {}
-        has_delta = False
+        # split buckets into delta-bearing (need LWW resolve) and
+        # base-only (stream straight through, no window): after
+        # compaction most buckets are base-only, so the resolve cost
+        # tracks the UNCOMPACTED fraction, not the table size.
+        resolve_groups: dict[int, list[str]] = {}
+        plain_groups: dict[int, list[str]] = {}
         for b, entries in m.bucket_files.items():
             if wanted is not None and b not in wanted:
                 continue
-            for relpath, sv, tier in entries:
-                has_delta = has_delta or tier == DELTA
-                by_version.setdefault(sv, []).append(os.path.join(self.store.root, relpath))
+            bucket_has_delta = any(tier == DELTA for _, _, tier in entries)
+            target = resolve_groups if bucket_has_delta else plain_groups
+            for relpath, sv, _tier in entries:
+                target.setdefault(sv, []).append(os.path.join(self.store.root, relpath))
 
-        if not by_version:
-            df = self.spark.createDataFrame([], stored_current)
-        else:
+        def read_groups(groups):
             parts = []
-            for sv, paths in sorted(by_version.items()):
+            for sv, paths in sorted(groups.items()):
                 # read each file group with the exact schema it was
                 # written under, then coerce — deterministic add-column
                 # (null-fill) and widening (cast) with no reliance on
@@ -156,8 +159,18 @@ class LakeTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-        if has_delta:
-            df = dedup_last_writer(df, m.key_columns, m.order_columns)
+            return df
+
+        if not resolve_groups and not plain_groups:
+            df = self.spark.createDataFrame([], stored_current)
+        elif not resolve_groups:
+            df = read_groups(plain_groups)
+        else:
+            df = dedup_last_writer(
+                read_groups(resolve_groups), m.key_columns, m.order_columns
+            )
+            if plain_groups:
+                df = df.unionByName(read_groups(plain_groups))
         if include_deleted:
             return df
         return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)

@@ -87,6 +87,27 @@ def test_bucket_pruned_read_lists_only_touched_files(spark, tmp_path):
     assert pruned.count() == expect.count()
 
 
+def test_partial_compact_resolves_only_delta_buckets(spark, tmp_path):
+    """Mixed table: compacted buckets stream window-free; only
+    delta-bearing buckets pay the LWW resolve."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=4,
+    )
+    full = changegen.changes(spark, 1000, seed=34)
+    t.merge_batch(full.filter(F.col("lsn") < 500), "b0")
+    t.merge_batch(full.filter(F.col("lsn") >= 500), "b1")
+    some = [int(next(iter(t.manifest.bucket_files)))]
+    t.compact(buckets=some)
+    # compacted bucket alone: no Window in the plan
+    assert "Window" not in formatted_plan(t.read(buckets=some))
+    others = [int(b) for b in t.manifest.bucket_files if int(b) not in some]
+    assert "Window" in formatted_plan(t.read(buckets=others))
+    # state correctness across the mixed read
+    from tests.test_lake_merge import assert_df_equal
+    assert_df_equal(t.read(), changegen.expected_final_state(full))
+
+
 def test_read_after_compact_has_no_window(spark, tmp_path):
     """Base-only tables skip the LWW resolve entirely — the read plan
     contains no Window node."""
