@@ -13,5 +13,10 @@ Semantics sources in the reference:
 - SCN watermark RUNNING→FINISHED resume cursor (db2/db2.py:596-655)
 """
 
-from .manifest import CommitRecord, Manifest, SchemaVersion  # noqa: F401
+from .manifest import (  # noqa: F401
+    CommitRecord,
+    ConcurrentCommitError,
+    Manifest,
+    SchemaVersion,
+)
 from .table import LakeTable  # noqa: F401

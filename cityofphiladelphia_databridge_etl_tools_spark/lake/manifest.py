@@ -87,6 +87,13 @@ class Manifest:
         return Manifest(**d)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — reload the
+    manifest and retry (optimistic concurrency; the lake analogue of
+    the reference's transaction rollback, db2/db2.py:548-565, without
+    its lock-killing)."""
+
+
 class MetaStore:
     """Filesystem metadata store with atomic pointer swap."""
 
@@ -117,14 +124,30 @@ class MetaStore:
             return Manifest.from_json(f.read())
 
     def commit(self, manifest: Manifest) -> None:
-        """Write manifest then atomically flip the CURRENT pointer."""
+        """Write manifest then atomically flip the CURRENT pointer.
+
+        Optimistic concurrency: the manifest file is created with an
+        atomic link (fails if the version already exists), so of two
+        racing writers exactly one wins version N and the loser gets
+        ConcurrentCommitError — its data files stay orphaned and its
+        batch can be retried against the fresh manifest (version 0 is
+        exempt: create() owns it)."""
         os.makedirs(self.meta_dir, exist_ok=True)
         vp = self.version_path(manifest.version)
-        # immutable manifest file; write via temp+rename for crash safety
         fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             f.write(manifest.to_json())
-        os.replace(tmp, vp)
+        try:
+            os.link(tmp, vp)  # atomic create-exclusive (POSIX)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"version {manifest.version} already committed by another "
+                f"writer; reload the manifest and retry the batch"
+            ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".cur.tmp")
         with os.fdopen(fd, "w") as f:
             f.write(str(manifest.version))

@@ -239,6 +239,34 @@ def test_extract_upsert_roundtrip_invariance(spark, tmp_path):
     assert_df_equal(t.read(), before)
 
 
+def test_concurrent_commit_loses_cleanly(spark, tmp_path):
+    """Two writers racing to the same version: exactly one wins; the
+    loser gets ConcurrentCommitError, table state is the winner's, and
+    a retry against the fresh manifest succeeds."""
+    from cityofphiladelphia_databridge_etl_tools_spark.lake import (
+        ConcurrentCommitError, LakeTable,
+    )
+
+    t = make_table(spark, tmp_path)
+    writer_a = t
+    writer_b = LakeTable(spark, t.store.root)  # second handle, same table
+    a = changegen.changes(spark, 300, seed=95)
+    b = changegen.changes(spark, 300, seed=96, lsn_start=1000)
+    writer_a.merge_batch(a, "a-1")
+    # writer_b raced from the SAME base manifest: simulate by crafting
+    # its commit against the stale version (version file now exists)
+    import pytest as _pytest
+    stale = writer_b.store.read_current()  # fresh is fine; force stale:
+    stale.version -= 1
+    with _pytest.raises(ConcurrentCommitError):
+        writer_b.store.commit(stale)
+    # clean retry on the fresh manifest works
+    rec = writer_b.merge_batch(b, "b-1")
+    assert rec is not None
+    full = a.unionByName(b)
+    assert_df_equal(t.read(), changegen.expected_final_state(full))
+
+
 def test_per_turn_text_equality(spark, tmp_path):
     """The input_hint invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering vs the oracle replay."""
