@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--root", required=True)
     k.add_argument("--buckets", default=None, help="comma-separated; default all")
 
+    g = sub.add_parser("gc", help="remove orphaned data files (crash/race leftovers)")
+    g.add_argument("--root", required=True)
+    g.add_argument("--dry-run", action="store_true")
+
     w = sub.add_parser("show", help="manifest summary + lineage")
     w.add_argument("--root", required=True)
 
@@ -120,6 +124,13 @@ def main(argv: list[str] | None = None) -> int:
         buckets = [int(b) for b in args.buckets.split(",")] if args.buckets else None
         t.compact(buckets=buckets)
         print("compacted")
+    elif args.cmd == "gc":
+        t = LakeTable(spark, args.root)
+        removed = t.gc_orphans(dry_run=args.dry_run)
+        verb = "would remove" if args.dry_run else "removed"
+        print(f"{verb} {len(removed)} orphaned files")
+        for r in removed[:20]:
+            print(" ", r)
     elif args.cmd == "show":
         t = LakeTable(spark, args.root)
         m = t.manifest

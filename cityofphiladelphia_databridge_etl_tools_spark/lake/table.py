@@ -507,6 +507,38 @@ class LakeTable:
         )
         return rec
 
+    def gc_orphans(self, dry_run: bool = False) -> list[str]:
+        """Remove data files no manifest version references — leftovers
+        of crashes and lost commit races. Safe because every referenced
+        file appears in SOME version's bucket_files and versions are
+        immutable; files referenced by ANY retained version are kept
+        (snapshots stay readable for time travel until manifests are
+        themselves expired). Returns the removed relative paths."""
+        import glob as _glob
+
+        referenced: set[str] = set()
+        for vp in _glob.glob(os.path.join(self.store.meta_dir, "version-*.json")):
+            with open(vp) as f:
+                man = Manifest.from_json(f.read())
+            for entries in man.bucket_files.values():
+                for relpath, _sv, _tier in entries:
+                    referenced.add(os.path.normpath(relpath))
+        removed = []
+        for path in _glob.glob(os.path.join(self.store.data_dir, "**", "*.parquet"), recursive=True):
+            rel = os.path.normpath(os.path.relpath(path, self.store.root))
+            if rel not in referenced:
+                removed.append(rel)
+                if not dry_run:
+                    os.unlink(path)
+        if not dry_run:  # prune dirs holding only write-marker debris
+            for d, _subdirs, files in list(os.walk(self.store.data_dir, topdown=False)):
+                leftover = os.listdir(d)
+                if all(f == "_SUCCESS" or f.endswith(".crc") for f in leftover):
+                    for f in leftover:
+                        os.unlink(os.path.join(d, f))
+                    os.rmdir(d)
+        return removed
+
     def lineage(self) -> DataFrame:
         """The commit log as a DataFrame — per-batch lsn ranges, row
         counts, merge stats, touched buckets (the reference's

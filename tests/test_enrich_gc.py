@@ -1,0 +1,83 @@
+"""Batch enrichment (T14) + orphan GC maintenance."""
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from cityofphiladelphia_databridge_etl_tools_spark import changegen
+from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
+from cityofphiladelphia_databridge_etl_tools_spark.lake import LakeTable
+from cityofphiladelphia_databridge_etl_tools_spark.operators.enrich import (
+    batch_lookup_enrich,
+    join_enrich,
+)
+from tests.test_lake_merge import assert_df_equal
+
+
+def test_batch_lookup_enrich(spark):
+    """The AGO/AIS per-row-HTTP anti-pattern replaced by batched
+    executor-side lookups: fake service called once per ≤batch_size
+    chunk with deduplicated keys."""
+    rows = spark.createDataFrame(
+        [(i, f"addr-{i % 7}") for i in range(1000)], "id long, address string"
+    )
+
+    def fake_geocoder(keys):
+        assert len(keys) <= 7  # deduplicated within chunk
+        return {
+            k: {"lat": float(int(k.split("-")[1])), "lng": -75.0 - int(k.split("-")[1])}
+            for k in keys
+        }
+
+    out = batch_lookup_enrich(
+        rows, "address", fake_geocoder,
+        [("lat", T.DoubleType()), ("lng", T.DoubleType())], batch_size=300,
+    )
+    got = out.filter(F.col("id") == 8).collect()[0]
+    assert got["lat"] == 1.0 and got["lng"] == -76.0
+    assert out.filter(F.col("lat").isNull()).count() == 0
+    assert out.count() == 1000
+
+
+def test_join_enrich_broadcasts(spark, sf_dir):
+    from cityofphiladelphia_databridge_etl_tools_spark.plans import uses_broadcast_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    out = join_enrich(ev, cust, on="user_id")
+    assert uses_broadcast_join(out)
+    assert out.count() == ev.count()  # left join keeps all
+
+
+def test_gc_orphans(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=4,
+    )
+    stream = changegen.changes(spark, 800, seed=99)
+    t.merge_batch(stream.filter(F.col("lsn") < 400), "b0")
+    # crash/race leftovers: files written but never committed
+    orphan_dir = os.path.join(t.store.root, "data/snap-crashed-cafe")
+    stream.limit(50).write.parquet(orphan_dir)
+    before = t.read()
+
+    removed = t.gc_orphans(dry_run=True)
+    assert removed and all("snap-crashed-cafe" in r for r in removed)
+    removed = t.gc_orphans()
+    assert not os.path.exists(orphan_dir)
+    # committed data untouched — including files referenced only by OLD versions
+    t.merge_batch(stream.filter(F.col("lsn") >= 400), "b1")
+    assert t.gc_orphans() == []  # everything referenced
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+    # time travel to the old version still works after GC
+    import json
+    with open(os.path.join(t.store.meta_dir, "version-000001.json")) as f:
+        from cityofphiladelphia_databridge_etl_tools_spark.lake.manifest import Manifest
+        old = Manifest.from_json(f.read())
+    assert_df_equal(
+        t.read(manifest=old),
+        changegen.expected_final_state(stream.filter(F.col("lsn") < 400)),
+    )
