@@ -141,10 +141,10 @@ class LakeTable:
         for b, entries in m.bucket_files.items():
             if wanted is not None and b not in wanted:
                 continue
-            bucket_has_delta = any(tier == DELTA for _, _, tier in entries)
+            bucket_has_delta = any(e[2] == DELTA for e in entries)
             target = resolve_groups if bucket_has_delta else plain_groups
-            for relpath, sv, _tier in entries:
-                target.setdefault(sv, []).append(os.path.join(self.store.root, relpath))
+            for e in entries:  # [relpath, schema_version, tier, (min_key, max_key)]
+                target.setdefault(e[1], []).append(os.path.join(self.store.root, e[0]))
 
         def read_groups(groups):
             parts = []
@@ -353,7 +353,7 @@ class LakeTable:
             over = [
                 int(b)
                 for b, entries in self.manifest.bucket_files.items()
-                if sum(1 for _, _, t in entries if t == DELTA) > compact_threshold
+                if sum(1 for e in entries if e[2] == DELTA) > compact_threshold
             ]
             if over:
                 self.compact(buckets=over, gc_tombstones=False)
@@ -446,15 +446,41 @@ class LakeTable:
                 if fn.endswith(".parquet"):
                     pending.append((b, f"{snap_rel}/{entry}/{fn}", os.path.join(bdir, fn)))
 
-        # footer row counts in parallel — with hundreds of small files
-        # a sequential loop becomes measurable driver-side serial time
+        # footer metadata in parallel — with hundreds of small files a
+        # sequential loop becomes measurable driver-side serial time.
+        # Besides row counts, we lift the LSN column's min/max out of
+        # the row-group statistics into the manifest: incremental
+        # consumers (changes_since) then skip whole files from metadata
+        # alone. LSN ranges are narrow per delta file (one batch), so
+        # this skipping is effective; key-column ranges would not be
+        # (keys are hash-sprayed across files by design).
+        key0 = self.manifest.order_columns[-1]
+
+        def footer(p):
+            md = pq.ParquetFile(p[2]).metadata
+            try:
+                idx = md.schema.names.index(key0)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                lo, hi = min(mins), max(maxs)
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+            except (ValueError, KeyError):
+                lo = hi = None
+            return md.num_rows, lo, hi
+
         with ThreadPoolExecutor(max_workers=16) as ex:
-            counts = list(ex.map(lambda p: pq.ParquetFile(p[2]).metadata.num_rows, pending))
+            metas = list(ex.map(footer, pending))
 
         files: dict[str, list] = {}
         rows: dict[str, int] = {}
-        for (b, relpath, _), n in zip(pending, counts):
-            files.setdefault(b, []).append([relpath, schema_version, tier])
+        for (b, relpath, _), (n, lo, hi) in zip(pending, metas):
+            files.setdefault(b, []).append([relpath, schema_version, tier, lo, hi])
             rows[b] = rows.get(b, 0) + n
         return files, rows
 
@@ -507,6 +533,44 @@ class LakeTable:
         )
         return rec
 
+    def changes_since(self, lsn_exclusive: int) -> DataFrame:
+        """Incremental change feed for downstream consumers: every row
+        version (upserts AND tombstones, with ``_deleted``) whose lsn
+        is past the cursor — the lake-table analogue of tailing the
+        binlog from an offset. File skipping happens at the MANIFEST
+        level using the per-file lsn min/max lifted from parquet
+        footers at write time: only files that can contain newer rows
+        are read at all (see _files_newer_than).
+
+        Caveat: compaction with tombstone GC erases delete events —
+        consumers that need deletes must keep their cursor ahead of
+        the compaction horizon (or compact with gc_tombstones=False).
+        """
+        m = self.manifest
+        paths_by_version = self._files_newer_than(m, lsn_exclusive)
+        stored_current = _with_deleted(self.schema(m))
+        if not paths_by_version:
+            return self.spark.createDataFrame([], stored_current)
+        parts = []
+        for sv, paths in sorted(paths_by_version.items()):
+            stored = _with_deleted(self._schema_at(m, sv))
+            parts.append(coerce_to(self.spark.read.schema(stored).parquet(*paths), stored_current))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        last = m.order_columns[-1]
+        return df.filter(F.col(last) > F.lit(lsn_exclusive))
+
+    def _files_newer_than(self, m: Manifest, lsn_exclusive: int) -> dict[int, list[str]]:
+        """Manifest-level file skipping on the recorded lsn max."""
+        out: dict[int, list[str]] = {}
+        for entries in m.bucket_files.values():
+            for e in entries:
+                hi = e[4] if len(e) >= 5 else None
+                if hi is None or int(hi) > lsn_exclusive:
+                    out.setdefault(e[1], []).append(os.path.join(self.store.root, e[0]))
+        return out
+
     def gc_orphans(self, dry_run: bool = False) -> list[str]:
         """Remove data files no manifest version references — leftovers
         of crashes and lost commit races. Safe because every referenced
@@ -521,8 +585,8 @@ class LakeTable:
             with open(vp) as f:
                 man = Manifest.from_json(f.read())
             for entries in man.bucket_files.values():
-                for relpath, _sv, _tier in entries:
-                    referenced.add(os.path.normpath(relpath))
+                for e in entries:
+                    referenced.add(os.path.normpath(e[0]))
         removed = []
         for path in _glob.glob(os.path.join(self.store.data_dir, "**", "*.parquet"), recursive=True):
             rel = os.path.normpath(os.path.relpath(path, self.store.root))

@@ -206,7 +206,7 @@ def test_mor_auto_compaction_bounds_deltas(spark, tmp_path):
         )
     m = t.manifest
     for b, entries in m.bucket_files.items():
-        n_delta = sum(1 for _, _, tier in entries if tier == "delta")
+        n_delta = sum(1 for e in entries if e[2] == "delta")
         assert n_delta <= 4 + 1, f"bucket {b} has {n_delta} deltas"
     assert_df_equal(t.read(), changegen.expected_final_state(full))
 
