@@ -57,6 +57,43 @@ def stream_changes_into_table(
     )
 
 
+def stream_dedup_changes(
+    spark: SparkSession,
+    changes_dir: str,
+    table,  # LakeTable
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 4,
+):
+    """Like stream_changes_into_table, but suppresses duplicate event
+    DELIVERIES inside the stream itself with
+    ``dropDuplicatesWithinWatermark`` on (lsn) before the merge — the
+    at-least-once transport dedup running streaming-side (state-store
+    backed), on top of the merge's own LWW idempotence. Use when the
+    transport redelivers heavily and you want to shed duplicates
+    before they cost shuffle work."""
+    schema = spark.read.parquet(changes_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changes_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["lsn"])
+    )
+
+    def apply_batch(df: DataFrame, epoch_id: int) -> None:
+        table.merge_batch(df, batch_id=f"dedup-epoch-{epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window counts + sums per event_type over the
     events stream, with a 1-hour watermark for late data. Complete

@@ -41,6 +41,38 @@ def test_stream_tail_into_lake(spark, tmp_path):
     assert len(t.manifest.applied_batch_ids) >= 1
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """A transport that redelivers every event (each file written
+    twice) still converges: dropDuplicatesWithinWatermark sheds the
+    duplicates streaming-side, the merge result equals the clean
+    replay."""
+    from cityofphiladelphia_databridge_etl_tools_spark.streaming.pipeline import (
+        stream_dedup_changes,
+    )
+
+    changes_dir = str(tmp_path / "changes")
+    stream = changegen.changes(spark, 1000, seed=23)
+    for k in range(2):
+        half = stream.filter((F.col("lsn") >= k * 500) & (F.col("lsn") < (k + 1) * 500))
+        half.coalesce(1).write.parquet(f"{changes_dir}/part-{k}", mode="overwrite")
+        half.coalesce(1).write.parquet(f"{changes_dir}/dup-{k}", mode="overwrite")
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8,
+    )
+    q = stream_dedup_changes(
+        spark, changes_dir + "/*", t, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+    # lineage proves duplicates were shed BEFORE the merge: total
+    # rows_in across commits < the 2000 delivered rows
+    total_in = sum(c.rows_in for c in t.manifest.commits)
+    assert total_in == 1000, total_in
+
+
 def test_stream_restart_is_exactly_once(spark, tmp_path):
     """Restarting from the same checkpoint re-delivers nothing new; a
     replayed epoch (simulated via same batch ids) is a no-op."""
