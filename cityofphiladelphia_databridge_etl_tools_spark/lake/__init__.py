@@ -1,11 +1,14 @@
 """Minimal snapshot/commit-log lake format over Parquet.
 
 No Iceberg/Delta jars ship in this sandbox, so the engine carries its
-own Iceberg-shaped metadata layer: versioned JSON manifests listing
-data files per key-bucket, an atomically-swapped CURRENT pointer, a
-batch-id commit log for exactly-once idempotence, per-bucket LSN
-watermarks, and a schema-version history. Swapping in real Iceberg
-later is a sink change only — the merge dataflow is format-agnostic.
+own Iceberg-shaped metadata layer: an append-only commit log of
+O(batch) delta records (CAS-created — the commit point), periodic
+full-state snapshots, a batch-id set for exactly-once idempotence,
+per-bucket LSN watermarks, and a schema-version history. Per-commit
+metadata cost is flat in table age; all metadata I/O goes through a
+FileSystem interface (POSIX here; conditional-PUT on object stores).
+Swapping in real Iceberg later is a sink change only — the merge
+dataflow is format-agnostic.
 
 Semantics sources in the reference:
 - atomic promote via temp table + single transaction
@@ -13,10 +16,13 @@ Semantics sources in the reference:
 - SCN watermark RUNNING→FINISHED resume cursor (db2/db2.py:596-655)
 """
 
+from .fs import FileSystem, LocalFS  # noqa: F401
 from .manifest import (  # noqa: F401
     CommitRecord,
     ConcurrentCommitError,
+    LogDelta,
     Manifest,
+    MetaStore,
     SchemaVersion,
 )
 from .table import LakeTable  # noqa: F401

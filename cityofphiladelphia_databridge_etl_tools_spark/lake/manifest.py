@@ -1,34 +1,55 @@
-"""Manifest + commit-log metadata for the parquet lake format.
+"""Append-only commit log + periodic snapshot metadata for the lake.
 
 Layout of a table directory::
 
     <root>/
       _meta/
-        version-<n>.json     immutable snapshot manifest
-        CURRENT              one-line pointer to the committed version,
-                             swapped with os.replace (atomic on POSIX)
+        log/delta-<v>.json       ONE record per commit — the O(batch)
+                                 diff; its create-exclusive write IS
+                                 the commit point (CAS: one winner per
+                                 log position)
+        snap/snapshot-<v>.json   full materialized state, written
+                                 every ``snapshot_interval`` commits
+                                 (derived data — losing one only means
+                                 replaying more deltas)
+        CURRENT                  advisory hint (may lag; readers probe
+                                 the log past it)
       data/
-        bucket=<k>/snap<v>-*.parquet
+        <snap>/bucket=<k>/*.parquet
 
-A manifest is the full table state: schema history, per-bucket data
-file lists, applied batch ids (the exactly-once log — reference
-analogue: Oracle SCN watermark rows RUNNING→FINISHED,
-db2/db2.py:596-655), per-bucket LSN watermarks, and lineage records.
+Why a log, not a rewrite-everything manifest: at 10^10 events a table
+accumulates >=10^5 commits and >=10^6 files; serializing the full
+state per microbatch makes commit cost O(files+commits) — throughput
+decays with table age. Here a commit serializes only its own diff
+(new files, watermark bumps, one CommitRecord); the O(state) snapshot
+cost is paid once per ``snapshot_interval`` commits, so per-commit
+metadata work is flat. Same shape as Iceberg's metadata log +
+manifest lists, re-expressed minimally.
 
-Crash safety: data files and the new manifest are written first; the
-commit IS the atomic CURRENT swap. A crash before the swap leaves
-orphan files that no manifest references — replay of the same batch_id
-re-merges from the old snapshot and reconverges (reference analogue:
-rollback + drop-temp on failure, oracle/oracle.py:401-406).
+Crash safety: data files first, then the delta record; the delta's
+atomic create IS the commit. A crash after the delta lands but before
+the CURRENT hint / snapshot update loses nothing — the next reader
+probes the log past the hint and reconstructs the committed state
+(hints and snapshots are pure derived data). A crash before the delta
+lands leaves orphan data files; replaying the batch_id reconverges
+(reference analogue: rollback + drop-temp on failure,
+oracle/oracle.py:401-406; SCN watermark rows RUNNING→FINISHED,
+db2/db2.py:596-655).
+
+Concurrency: two writers racing version N both try to create
+delta-N.json; exactly one wins, the loser gets ConcurrentCommitError,
+reloads (now seeing the winner's commit) and retries at N+1. There is
+no wedge state: the commit point and the conflict point are the same
+atomic operation.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 import time
 from dataclasses import asdict, dataclass, field
+
+from .fs import FileSystem, LocalFS
 
 
 @dataclass
@@ -57,16 +78,47 @@ class CommitRecord:
 
 @dataclass
 class Manifest:
+    """In-memory materialized table state (reconstructed from the
+    latest snapshot + subsequent log deltas). ``commits`` keeps only
+    the most recent ``MetaStore.commit_retention`` records so the
+    in-memory/snapshot size is bounded; ``applied_ids`` keeps every
+    batch id ever committed (strings only — the exactly-once set)."""
+
     version: int
     n_buckets: int
     key_columns: list[str]
     order_columns: list[str]  # LWW ordering, e.g. ["ts", "lsn"]
     schema_versions: list[SchemaVersion]
-    # bucket id (as str, JSON keys are strings) -> list of relative file paths
-    bucket_files: dict[str, list[str]]
+    # bucket id (str, JSON keys are strings) -> [relpath, schema_version,
+    # tier, order_lo, order_hi] entries
+    bucket_files: dict[str, list[list]]
     commits: list[CommitRecord]
     # bucket id -> max lsn applied (per-partition watermark)
     watermarks: dict[str, int]
+    applied_ids: list[str] = field(default_factory=list)
+    # registered change-feed consumers: name -> last consumed lsn
+    cursors: dict[str, int] = field(default_factory=dict)
+    # tombstones at/below this lsn may have been GC'd (compaction
+    # safety horizon for changes_since consumers); -1 = none GC'd
+    tombstone_gc_lsn: int = -1
+
+    def copy(self) -> "Manifest":
+        """Structure-sharing copy: containers are fresh, entries are
+        shared. MetaStore hands these out so callers can't corrupt the
+        in-process cache."""
+        return Manifest(
+            version=self.version,
+            n_buckets=self.n_buckets,
+            key_columns=list(self.key_columns),
+            order_columns=list(self.order_columns),
+            schema_versions=list(self.schema_versions),
+            bucket_files={b: list(v) for b, v in self.bucket_files.items()},
+            commits=list(self.commits),
+            watermarks=dict(self.watermarks),
+            applied_ids=list(self.applied_ids),
+            cursors=dict(self.cursors),
+            tombstone_gc_lsn=self.tombstone_gc_lsn,
+        )
 
     @property
     def current_schema_json(self) -> str:
@@ -74,84 +126,299 @@ class Manifest:
 
     @property
     def applied_batch_ids(self) -> set[str]:
-        return {c.batch_id for c in self.commits}
+        return set(self.applied_ids)
 
     def to_json(self) -> str:
-        return json.dumps(asdict(self), indent=1)
+        return json.dumps(asdict(self))
 
     @staticmethod
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
         d["schema_versions"] = [SchemaVersion(**v) for v in d["schema_versions"]]
         d["commits"] = [CommitRecord(**c) for c in d["commits"]]
+        d.setdefault("applied_ids", [c.batch_id for c in d["commits"]])
         return Manifest(**d)
 
 
+@dataclass
+class LogDelta:
+    """One commit's diff against its parent version — the unit the
+    log stores. All collections are O(this batch), never O(table)."""
+
+    version: int
+    new_commits: list[CommitRecord] = field(default_factory=list)
+    schema_versions_added: list[SchemaVersion] = field(default_factory=list)
+    # MOR appends: bucket -> entries ADDED to that bucket's file list
+    bucket_appends: dict[str, list[list]] = field(default_factory=dict)
+    # COW / compaction / overwrite: bucket -> full replacement list
+    bucket_replaces: dict[str, list[list]] = field(default_factory=dict)
+    # merged with max() into the per-bucket watermarks
+    watermark_updates: dict[str, int] = field(default_factory=dict)
+    # overwrite_full resets the watermark map wholesale
+    replace_watermarks: bool = False
+    cursor_updates: dict[str, int] = field(default_factory=dict)
+    tombstone_gc_lsn: int | None = None
+    # legacy full-state commit (create(), MetaStore.commit(manifest))
+    full_state: dict | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self))
+
+    @staticmethod
+    def from_json(s: str) -> "LogDelta":
+        d = json.loads(s)
+        d["new_commits"] = [CommitRecord(**c) for c in d["new_commits"]]
+        d["schema_versions_added"] = [
+            SchemaVersion(**v) for v in d["schema_versions_added"]
+        ]
+        return LogDelta(**d)
+
+
 class ConcurrentCommitError(RuntimeError):
-    """Another writer committed this version first — reload the
-    manifest and retry (optimistic concurrency; the lake analogue of
-    the reference's transaction rollback, db2/db2.py:548-565, without
-    its lock-killing)."""
+    """Another writer committed this log position first — reload the
+    manifest (which now includes the winner) and retry the batch
+    (optimistic concurrency; the lake analogue of the reference's
+    transaction rollback, db2/db2.py:548-565, without its
+    lock-killing)."""
+
+
+def apply_delta(parent: Manifest | None, delta: LogDelta, commit_retention: int) -> Manifest:
+    """Pure state transition: parent manifest + delta → child."""
+    if delta.full_state is not None:
+        d = dict(delta.full_state)
+        m = Manifest.from_json(json.dumps(d))
+        m.version = delta.version
+        return m
+    assert parent is not None and delta.version == parent.version + 1
+    bucket_files = {b: list(v) for b, v in parent.bucket_files.items()}
+    for b, entries in delta.bucket_replaces.items():
+        bucket_files[b] = list(entries)
+    for b, entries in delta.bucket_appends.items():
+        bucket_files.setdefault(b, []).extend(entries)
+    if delta.replace_watermarks:
+        watermarks = dict(delta.watermark_updates)
+    else:
+        watermarks = dict(parent.watermarks)
+        for b, hi in delta.watermark_updates.items():
+            watermarks[b] = max(watermarks.get(b, -1), hi)
+    commits = (parent.commits + delta.new_commits)[-commit_retention:]
+    cursors = dict(parent.cursors)
+    cursors.update(delta.cursor_updates)
+    return Manifest(
+        version=delta.version,
+        n_buckets=parent.n_buckets,
+        key_columns=parent.key_columns,
+        order_columns=parent.order_columns,
+        schema_versions=parent.schema_versions + delta.schema_versions_added,
+        bucket_files=bucket_files,
+        commits=commits,
+        watermarks=watermarks,
+        applied_ids=parent.applied_ids + [c.batch_id for c in delta.new_commits],
+        cursors=cursors,
+        tombstone_gc_lsn=(
+            delta.tombstone_gc_lsn
+            if delta.tombstone_gc_lsn is not None
+            else parent.tombstone_gc_lsn
+        ),
+    )
 
 
 class MetaStore:
-    """Filesystem metadata store with atomic pointer swap."""
+    """Log-structured metadata store with CAS commits.
 
-    def __init__(self, root: str):
+    Per-commit cost is O(batch diff) + amortized O(state)/interval for
+    the periodic snapshot; reads replay at most ``snapshot_interval``
+    deltas past the latest snapshot (typically 0-1 past the in-process
+    cache). All I/O goes through :class:`FileSystem` — an object-store
+    root needs only a conditional-PUT implementation of it.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        fs: FileSystem | None = None,
+        snapshot_interval: int = 32,
+        commit_retention: int = 1000,
+    ):
         self.root = root
-        self.meta_dir = os.path.join(root, "_meta")
-        self.data_dir = os.path.join(root, "data")
+        self.fs = fs or LocalFS()
+        self.meta_dir = f"{root}/_meta"
+        self.log_dir = f"{self.meta_dir}/log"
+        self.snap_dir = f"{self.meta_dir}/snap"
+        self.data_dir = f"{root}/data"
+        self.snapshot_interval = snapshot_interval
+        self.commit_retention = commit_retention
+        self._cache: Manifest | None = None
 
     # -- paths -----------------------------------------------------------
-    def version_path(self, version: int) -> str:
-        return os.path.join(self.meta_dir, f"version-{version:06d}.json")
+    def delta_path(self, version: int) -> str:
+        return f"{self.log_dir}/delta-{version:09d}.json"
+
+    def snapshot_path(self, version: int) -> str:
+        return f"{self.snap_dir}/snapshot-{version:09d}.json"
 
     @property
     def current_path(self) -> str:
-        return os.path.join(self.meta_dir, "CURRENT")
+        return f"{self.meta_dir}/CURRENT"
 
     def bucket_dir(self, bucket: int) -> str:
-        return os.path.join(self.data_dir, f"bucket={bucket}")
+        return f"{self.data_dir}/bucket={bucket}"
 
     # -- io ---------------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.exists(self.current_path)
+        return bool(self._snapshot_versions()) or self.fs.exists(self.delta_path(0))
+
+    def _snapshot_versions(self) -> list[int]:
+        return sorted(
+            int(n[len("snapshot-"):-len(".json")])
+            for n in self.fs.listdir(self.snap_dir)
+            if n.startswith("snapshot-") and n.endswith(".json")
+        )
+
+    def _delta_versions(self) -> list[int]:
+        return sorted(
+            int(n[len("delta-"):-len(".json")])
+            for n in self.fs.listdir(self.log_dir)
+            if n.startswith("delta-") and n.endswith(".json")
+        )
+
+    def _roll_forward(self, m: Manifest) -> Manifest:
+        """Apply any log deltas past ``m.version`` (crash/lag recovery:
+        the log, not the hint, is the truth)."""
+        v = m.version + 1
+        while self.fs.exists(self.delta_path(v)):
+            delta = LogDelta.from_json(self.fs.read_text(self.delta_path(v)))
+            m = apply_delta(m, delta, self.commit_retention)
+            v += 1
+        return m
 
     def read_current(self) -> Manifest:
-        with open(self.current_path) as f:
-            version = int(f.read().strip())
-        with open(self.version_path(version)) as f:
-            return Manifest.from_json(f.read())
+        m = self._cache
+        if m is None:
+            snaps = self._snapshot_versions()
+            if snaps:
+                m = Manifest.from_json(self.fs.read_text(self.snapshot_path(snaps[-1])))
+            elif self.fs.exists(self.delta_path(0)):
+                d0 = LogDelta.from_json(self.fs.read_text(self.delta_path(0)))
+                m = apply_delta(None, d0, self.commit_retention)
+            else:
+                raise FileNotFoundError(f"no lake table metadata under {self.meta_dir}")
+        m = self._roll_forward(m)
+        self._cache = m
+        return m.copy()
+
+    def read_version(self, version: int) -> Manifest:
+        """Time travel: the manifest as of ``version`` (available while
+        a snapshot <= version and the deltas up to it are retained)."""
+        snaps = [s for s in self._snapshot_versions() if s <= version]
+        if snaps:
+            m = Manifest.from_json(self.fs.read_text(self.snapshot_path(snaps[-1])))
+        else:
+            m = apply_delta(
+                None,
+                LogDelta.from_json(self.fs.read_text(self.delta_path(0))),
+                self.commit_retention,
+            )
+        for v in range(m.version + 1, version + 1):
+            m = apply_delta(
+                m, LogDelta.from_json(self.fs.read_text(self.delta_path(v))), self.commit_retention
+            )
+        if m.version != version:
+            raise FileNotFoundError(f"version {version} not reconstructible")
+        return m
+
+    def commit_delta(self, parent: Manifest, delta: LogDelta) -> Manifest:
+        """Apply + persist one commit. The create-exclusive write of
+        the delta record is the atomic commit point; everything after
+        it (hint, snapshot) is best-effort derived data."""
+        new = apply_delta(parent, delta, self.commit_retention)
+        if not self.fs.create_exclusive(self.delta_path(delta.version), delta.to_json()):
+            raise ConcurrentCommitError(
+                f"log position {delta.version} already committed by another "
+                f"writer; reload the manifest and retry the batch"
+            )
+        self._cache = new
+        self.fs.write_text(self.current_path, str(new.version))  # hint only
+        if delta.version % self.snapshot_interval == 0:
+            # deterministic content per version — racing writers can
+            # only write identical bytes, so ignore create conflicts
+            self.fs.create_exclusive(self.snapshot_path(new.version), new.to_json())
+        return new.copy()
 
     def commit(self, manifest: Manifest) -> None:
-        """Write manifest then atomically flip the CURRENT pointer.
-
-        Optimistic concurrency: the manifest file is created with an
-        atomic link (fails if the version already exists), so of two
-        racing writers exactly one wins version N and the loser gets
-        ConcurrentCommitError — its data files stay orphaned and its
-        batch can be retried against the fresh manifest (version 0 is
-        exempt: create() owns it)."""
-        os.makedirs(self.meta_dir, exist_ok=True)
-        vp = self.version_path(manifest.version)
-        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(manifest.to_json())
-        try:
-            os.link(tmp, vp)  # atomic create-exclusive (POSIX)
-        except FileExistsError:
-            os.unlink(tmp)
+        """Full-state commit (create() and tests use it; merge paths
+        commit diffs via commit_delta). Subject to the same CAS."""
+        delta = LogDelta(version=manifest.version, full_state=json.loads(manifest.to_json()))
+        if not self.fs.create_exclusive(self.delta_path(delta.version), delta.to_json()):
             raise ConcurrentCommitError(
-                f"version {manifest.version} already committed by another "
+                f"log position {delta.version} already committed by another "
                 f"writer; reload the manifest and retry the batch"
-            ) from None
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".cur.tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(manifest.version))
-        os.replace(tmp, self.current_path)  # THE commit point
+            )
+        self._cache = manifest
+        self.fs.write_text(self.current_path, str(manifest.version))
+        if manifest.version % self.snapshot_interval == 0:
+            self.fs.create_exclusive(self.snapshot_path(manifest.version), manifest.to_json())
+
+    def expire_log(self, keep_snapshots: int = 2) -> list[str]:
+        """Drop log records and snapshots older than the
+        ``keep_snapshots``-th newest snapshot — bounds metadata growth
+        (and the time-travel horizon) like Iceberg's expire_snapshots.
+        Returns removed paths."""
+        snaps = self._snapshot_versions()
+        if len(snaps) <= keep_snapshots:
+            return []
+        horizon = snaps[-keep_snapshots]
+        removed = []
+        for v in self._delta_versions():
+            if v < horizon:
+                p = self.delta_path(v)
+                self.fs.delete(p)
+                removed.append(p)
+        for s in snaps:
+            if s < horizon:
+                p = self.snapshot_path(s)
+                self.fs.delete(p)
+                removed.append(p)
+        return removed
+
+    def referenced_files(self) -> set[str]:
+        """Every data relpath referenced by ANY retained snapshot or
+        log record — the GC keep-set (over-retains on purpose: a file
+        referenced at any retained point in history stays readable for
+        time travel until expire_log drops that history)."""
+        refs: set[str] = set()
+
+        def add_entries(entries):
+            for e in entries:
+                refs.add(e[0])
+
+        for s in self._snapshot_versions():
+            man = Manifest.from_json(self.fs.read_text(self.snapshot_path(s)))
+            for entries in man.bucket_files.values():
+                add_entries(entries)
+        for v in self._delta_versions():
+            d = LogDelta.from_json(self.fs.read_text(self.delta_path(v)))
+            for entries in d.bucket_appends.values():
+                add_entries(entries)
+            for entries in d.bucket_replaces.values():
+                add_entries(entries)
+            if d.full_state:
+                for entries in d.full_state.get("bucket_files", {}).values():
+                    add_entries(entries)
+        return refs
+
+    def all_commit_records(self) -> list[CommitRecord]:
+        """Full lineage from the retained log (Manifest.commits keeps
+        only the recent window)."""
+        out: list[CommitRecord] = []
+        for v in self._delta_versions():
+            d = LogDelta.from_json(self.fs.read_text(self.delta_path(v)))
+            if d.full_state:
+                out = [CommitRecord(**c) if isinstance(c, dict) else c
+                       for c in d.full_state.get("commits", [])]
+            else:
+                out.extend(d.new_commits)
+        return out
 
     @staticmethod
     def now() -> float:

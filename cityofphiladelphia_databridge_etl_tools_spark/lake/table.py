@@ -1,5 +1,6 @@
-"""LakeTable: bucketed parquet table with snapshot commits, exactly-once
-batch log, LWW merge, schema evolution, and tombstoned deletes.
+"""LakeTable: bucketed parquet table with log-structured commits,
+exactly-once batch ids, LWW merge, schema evolution, and tombstoned
+deletes.
 
 Two merge strategies (both Catalyst-planned, zero per-row Python):
 
@@ -22,12 +23,16 @@ The merge dataflow:
     staged ──distinct bucket ids──► touched    (bucket pruning: O(touched))
     cow: read(touched) ∪ staged ──LWW window──► rewrite buckets
     mor: staged ──LWW window (batch only)──► append delta files
-    manifest+pointer flip                      (ref db2.py:548-565)
+    log delta record (CAS create = commit)     (ref db2.py:548-565)
 
 Scale behavior: buckets bound the unit of rewrite; hot conversations
 are salted across writers inside a bucket; files are written sorted by
 key so parquet min/max stats support row-group skipping; AQE handles
-residual shuffle skew.
+residual shuffle skew. Metadata cost per commit is O(batch), not
+O(table) — see lake/manifest.py. Per-file stats (rows, order-column
+min/max) come from a distributed one-column scan of the just-written
+files, not driver-side footer reads, so any Hadoop-compatible root
+works.
 """
 
 from __future__ import annotations
@@ -48,7 +53,14 @@ from ..operators.merge import (
     dedup_last_writer_colocated,
     salt_expr,
 )
-from .manifest import CommitRecord, Manifest, MetaStore, SchemaVersion
+from .manifest import (
+    CommitRecord,
+    ConcurrentCommitError,
+    LogDelta,
+    Manifest,
+    MetaStore,
+    SchemaVersion,
+)
 from .schema import coerce_to, evolve_schema
 
 OP_COL = "op"
@@ -59,8 +71,13 @@ def _with_deleted(schema: T.StructType) -> T.StructType:
     return T.StructType(list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType(), True)])
 
 
+def _json_safe(v):
+    return v if isinstance(v, (int, float, str, type(None))) else None
+
+
 class LakeTable:
-    """One lake table = directory + manifest history. Single-writer."""
+    """One lake table = directory + commit log. Multi-writer safe via
+    CAS on the log position (losers reload and retry)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -85,7 +102,7 @@ class LakeTable:
         store = MetaStore(root)
         if store.exists():
             raise FileExistsError(root)
-        os.makedirs(store.data_dir, exist_ok=True)
+        store.fs.makedirs(store.data_dir)
         manifest = Manifest(
             version=0,
             n_buckets=n_buckets,
@@ -143,7 +160,7 @@ class LakeTable:
                 continue
             bucket_has_delta = any(e[2] == DELTA for e in entries)
             target = resolve_groups if bucket_has_delta else plain_groups
-            for e in entries:  # [relpath, schema_version, tier, (min_key, max_key)]
+            for e in entries:  # [relpath, schema_version, tier, lo, hi]
                 target.setdefault(e[1], []).append(os.path.join(self.store.root, e[0]))
 
         def read_groups(groups):
@@ -184,6 +201,7 @@ class LakeTable:
         mode: str = "mor",
         compact_threshold: int = 16,
         on_bad_rows: str = "fail",
+        max_commit_retries: int = 5,
     ) -> CommitRecord | None:
         """Apply one CDC microbatch exactly-once.
 
@@ -197,6 +215,13 @@ class LakeTable:
         files (O(batch) write) and compacts any bucket whose delta
         count exceeds ``compact_threshold``; mode="cow" rewrites the
         touched buckets fully.
+
+        Concurrency: on a lost commit race, MOR batches (whose file
+        appends and watermark bumps commute under LWW) are rebased onto
+        the winner's manifest and re-CAS'd automatically, up to
+        ``max_commit_retries``; COW batches and schema-evolving batches
+        raise ConcurrentCommitError — their content depends on the
+        parent snapshot, so the caller replays against fresh state.
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -208,14 +233,22 @@ class LakeTable:
         if OP_COL not in changes.columns:
             raise ValueError("changes must carry an 'op' column (I/U/D)")
         keys, order_cols = m.key_columns, m.order_columns
+        # fail fast (before any files are written) on a batch that
+        # cannot be LWW-merged at all — missing key/order columns
+        missing = [c for c in keys + order_cols if c not in changes.columns]
+        if missing:
+            raise ValueError(
+                f"changes batch {batch_id!r} lacks key/order column(s) {missing}"
+            )
+        oc = order_cols[-1]  # the LSN-like column watermarks track
 
-        # bad rows: unknown op, or null key/order columns. They are
-        # filtered in-plan and COUNTED by the same observation that
-        # rides the main write job (zero extra jobs on the happy path);
-        # if any existed, we either abort BEFORE the commit point
-        # (files orphan, replay reconverges) or dead-letter them with
-        # one extra job (ref: AGO error-row sink, ago/ago.py:319-344 —
-        # the pipeline continues).
+        # bad rows: unknown op, or null key columns. They are filtered
+        # in-plan and COUNTED by the same observation that rides the
+        # main write job (zero extra jobs on the happy path); if any
+        # existed, we either abort BEFORE the commit point (files
+        # orphan, replay reconverges) or dead-letter them with one
+        # extra job (ref: AGO error-row sink, ago/ago.py:319-344 — the
+        # pipeline continues).
         # null ORDER columns are legal (desc_nulls_last: they just lose
         # ties); only unknown ops and null KEYS are malformed.
         bad_cond = ~F.col(OP_COL).isin("I", "U", "D")
@@ -230,13 +263,13 @@ class LakeTable:
         )
         current = self.schema(m)
         new_schema = evolve_schema(current, payload_schema)
-        schema_versions = list(m.schema_versions)
+        schema_added: list[SchemaVersion] = []
         if new_schema.json() != current.json():
-            schema_versions.append(
-                SchemaVersion(len(schema_versions), new_schema.json(), MetaStore.now())
-            )
+            schema_added = [
+                SchemaVersion(len(m.schema_versions), new_schema.json(), MetaStore.now())
+            ]
             current = new_schema
-        current_version = schema_versions[-1].version
+        current_version = (m.schema_versions + schema_added)[-1].version
         stored_schema = _with_deleted(current)
 
         # -- stage: mark deletes, coerce to table schema
@@ -245,8 +278,8 @@ class LakeTable:
             obs_in,
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("_bad").cast("long")).alias("n_bad"),
-            F.min(F.when(~F.col("_bad"), F.col("lsn"))).alias("lsn_lo"),
-            F.max(F.when(~F.col("_bad"), F.col("lsn"))).alias("lsn_hi"),
+            F.min(F.when(~F.col("_bad"), F.col(oc))).alias("lsn_lo"),
+            F.max(F.when(~F.col("_bad"), F.col(oc))).alias("lsn_hi"),
         ).filter(~F.col("_bad")).drop("_bad")
         staged = coerce_to(
             staged.withColumn(DELETED_COL, F.col(OP_COL) == F.lit("D")).drop(OP_COL),
@@ -267,7 +300,7 @@ class LakeTable:
             if not touched:  # empty batch still commits (advances the log)
                 persisted.unpersist()
                 self._handle_bad_rows(obs_in, raw_changes, bad_cond, batch_id, on_bad_rows)
-                return self._commit_empty(m, batch_id, schema_versions)
+                return self._commit_empty(m, batch_id, schema_added)
             target = coerce_to(
                 self.read(buckets=touched, include_deleted=True, manifest=m),
                 stored_schema,
@@ -287,8 +320,8 @@ class LakeTable:
             tier = BASE
         else:
             # MOR fast path: single exchange+sort straight into the
-            # delta write — ONE Spark job per batch; the write's output
-            # directories reveal the touched buckets (no probe job).
+            # delta write; the write's output directories reveal the
+            # touched buckets (no probe job).
             winners = dedup_last_writer_colocated(
                 staged.withColumn("_salt", salt_expr(n_salt, *keys)),
                 keys, order_cols, part_cols,
@@ -301,7 +334,7 @@ class LakeTable:
             tier = DELTA
 
         new_files, bucket_rows = self._write_snapshot(
-            out_rows.drop("_salt"), snap_rel, current_version, tier, pre_clustered=True
+            out_rows.drop("_salt"), snap_rel, current_version, tier, m, pre_clustered=True
         )
         if persisted is not None:
             persisted.unpersist()
@@ -311,24 +344,16 @@ class LakeTable:
         if mode == "mor":
             touched = sorted(int(b) for b in new_files)
             if not touched:
-                return self._commit_empty(m, batch_id, schema_versions)
+                return self._commit_empty(m, batch_id, schema_added)
 
-        # -- assemble + atomically commit the new manifest
-        bucket_files = {b: list(v) for b, v in m.bucket_files.items()}
-        for b in touched:
-            bs = str(b)
-            if mode == "cow":
-                bucket_files[bs] = new_files.get(bs, [])
-            else:
-                bucket_files.setdefault(bs, []).extend(new_files.get(bs, []))
-        watermarks = dict(m.watermarks)
         in_metrics, out_metrics = obs_in.get, obs_out.get
-        for b in touched:
-            watermarks[str(b)] = max(watermarks.get(str(b), -1), int(in_metrics["lsn_hi"]))
+        # all-null order columns are legal — watermarks just don't move
+        lsn_lo = int(in_metrics["lsn_lo"]) if in_metrics["lsn_lo"] is not None else -1
+        lsn_hi = int(in_metrics["lsn_hi"]) if in_metrics["lsn_hi"] is not None else -1
         rec = CommitRecord(
             batch_id=batch_id,
-            lsn_lo=int(in_metrics["lsn_lo"]),
-            lsn_hi=int(in_metrics["lsn_hi"]),
+            lsn_lo=lsn_lo,
+            lsn_hi=lsn_hi,
             rows_in=int(in_metrics["n"]) - n_bad,
             rows_deduped=int(out_metrics["from_batch"]),
             rows_upserted=int(out_metrics["from_batch"]) - int(out_metrics["deletes"] or 0),
@@ -337,18 +362,41 @@ class LakeTable:
             committed_at=MetaStore.now(),
             bucket_rows={b: bucket_rows[b] for b in map(str, touched) if b in bucket_rows},
         )
-        self.store.commit(
-            Manifest(
-                version=m.version + 1,
-                n_buckets=m.n_buckets,
-                key_columns=keys,
-                order_columns=order_cols,
-                schema_versions=schema_versions,
-                bucket_files=bucket_files,
-                commits=list(m.commits) + [rec],
-                watermarks=watermarks,
-            )
+        delta = LogDelta(
+            version=m.version + 1,
+            new_commits=[rec],
+            schema_versions_added=schema_added,
+            bucket_appends=(
+                {str(b): new_files.get(str(b), []) for b in touched} if mode == "mor" else {}
+            ),
+            bucket_replaces=(
+                {str(b): new_files.get(str(b), []) for b in touched} if mode == "cow" else {}
+            ),
+            watermark_updates=(
+                {str(b): lsn_hi for b in touched} if lsn_hi >= 0 else {}
+            ),
         )
+        for _attempt in range(max_commit_retries):
+            try:
+                self.store.commit_delta(m, delta)
+                break
+            except ConcurrentCommitError:
+                fresh = self.store.read_current()
+                if batch_id in fresh.applied_batch_ids:
+                    # a racing writer (or our own crashed predecessor)
+                    # committed this batch — our files stay orphaned
+                    # for gc_orphans; exactly-once holds
+                    return None
+                if mode != "mor" or schema_added:
+                    raise  # content depends on parent snapshot — replay
+                if fresh.schema_versions[-1].schema_json != current.json():
+                    raise  # winner evolved the schema under us — replay
+                m = fresh  # MOR appends commute: rebase and re-CAS
+                delta.version = m.version + 1
+        else:
+            raise ConcurrentCommitError(
+                f"batch {batch_id!r}: lost {max_commit_retries} commit races"
+            )
         if mode == "mor":
             over = [
                 int(b)
@@ -356,14 +404,17 @@ class LakeTable:
                 if sum(1 for e in entries if e[2] == DELTA) > compact_threshold
             ]
             if over:
-                self.compact(buckets=over, gc_tombstones=False)
+                try:
+                    self.compact(buckets=over)
+                except ConcurrentCommitError:
+                    pass  # another writer got there; next batch re-checks
         return rec
 
     def _handle_bad_rows(
         self, obs_in: Observation, raw_changes: DataFrame, bad_cond, batch_id: str, policy: str
     ) -> int:
         """Post-job bad-row policy. Returns the bad count. Called
-        strictly BEFORE the manifest commit, so a 'fail' leaves only
+        strictly BEFORE the commit point, so a 'fail' leaves only
         orphan files and a replay reconverges."""
         try:
             n_bad = int(obs_in.get["n_bad"] or 0)
@@ -390,17 +441,23 @@ class LakeTable:
         return n_bad
 
     def _commit_empty(
-        self, m: Manifest, batch_id: str, schema_versions: list[SchemaVersion]
+        self, m: Manifest, batch_id: str, schema_added: list[SchemaVersion]
     ) -> CommitRecord:
         rec = CommitRecord(batch_id, -1, -1, 0, 0, 0, 0, [], MetaStore.now())
-        self.store.commit(
-            Manifest(
-                m.version + 1, m.n_buckets, m.key_columns, m.order_columns,
-                schema_versions, {b: list(v) for b, v in m.bucket_files.items()},
-                list(m.commits) + [rec], dict(m.watermarks),
-            )
+        delta = LogDelta(
+            version=m.version + 1, new_commits=[rec], schema_versions_added=schema_added
         )
-        return rec
+        while True:
+            try:
+                self.store.commit_delta(m, delta)
+                return rec
+            except ConcurrentCommitError:
+                m = self.store.read_current()
+                if batch_id in m.applied_batch_ids:
+                    return rec
+                if schema_added:
+                    raise
+                delta.version = m.version + 1
 
     # ---------------------------------------------------------------- write
     def _write_snapshot(
@@ -409,19 +466,25 @@ class LakeTable:
         snap_rel: str,
         schema_version: int,
         tier: str,
+        m: Manifest,
         n_salt: int = 4,
         pre_clustered: bool = False,
     ) -> tuple[dict[str, list], dict[str, int]]:
         """Write rows (must carry _bucket) as per-bucket parquet under
-        snap_rel. When not pre-clustered, repartition by (bucket, salt)
-        — a hot conv_id spreads over n_salt tasks while partitionBy
-        keeps layout per-bucket — and sort with a leading _bucket so
-        the dynamic-partition writer doesn't inject its own sort (key
-        order in-file gives parquet min/max row-group skipping). Files
-        are listed + row-counted from parquet footers driver-side (no
-        extra Spark job)."""
+        snap_rel, then collect per-file stats (row count, order-column
+        min/max) with ONE distributed job that scans only that column
+        of the just-written files — executors do the footer/column
+        work, the driver receives O(#files) rows. No driver-side
+        directory listing or local footer parsing, so any
+        Hadoop-compatible root (s3a://, gs://) works.
+
+        When not pre-clustered, repartition by (bucket, salt) — a hot
+        key spreads over n_salt tasks while partitionBy keeps layout
+        per-bucket — and sort with a leading _bucket so the
+        dynamic-partition writer doesn't inject its own sort (key order
+        in-file gives parquet min/max row-group skipping)."""
         snap_dir = os.path.join(self.store.root, snap_rel)
-        keys = self.manifest.key_columns
+        keys = m.key_columns
         if pre_clustered:
             out = df  # already exchanged+sorted by (_bucket, _salt, keys)
         else:
@@ -433,55 +496,40 @@ class LakeTable:
             )
         out.write.partitionBy("_bucket").parquet(snap_dir, mode="errorifexists")
 
-        import pyarrow.parquet as pq
-        from concurrent.futures import ThreadPoolExecutor
-
-        pending: list[tuple[str, str, str]] = []  # (bucket, relpath, abspath)
-        for entry in os.listdir(snap_dir):
-            if not entry.startswith("_bucket="):
-                continue
-            b = entry.split("=", 1)[1]
-            bdir = os.path.join(snap_dir, entry)
-            for fn in sorted(os.listdir(bdir)):
-                if fn.endswith(".parquet"):
-                    pending.append((b, f"{snap_rel}/{entry}/{fn}", os.path.join(bdir, fn)))
-
-        # footer metadata in parallel — with hundreds of small files a
-        # sequential loop becomes measurable driver-side serial time.
-        # Besides row counts, we lift the LSN column's min/max out of
-        # the row-group statistics into the manifest: incremental
-        # consumers (changes_since) then skip whole files from metadata
-        # alone. LSN ranges are narrow per delta file (one batch), so
-        # this skipping is effective; key-column ranges would not be
-        # (keys are hash-sprayed across files by design).
-        key0 = self.manifest.order_columns[-1]
-
-        def footer(p):
-            md = pq.ParquetFile(p[2]).metadata
-            try:
-                idx = md.schema.names.index(key0)
-                mins, maxs = [], []
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        raise ValueError
-                    mins.append(st.min)
-                    maxs.append(st.max)
-                lo, hi = min(mins), max(maxs)
-                if isinstance(lo, bytes):
-                    lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
-            except (ValueError, KeyError):
-                lo = hi = None
-            return md.num_rows, lo, hi
-
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            metas = list(ex.map(footer, pending))
-
+        # the order column whose min/max powers manifest-level file
+        # skipping in changes_since: LSN ranges are narrow per delta
+        # file (one batch), so skipping is effective; key-column ranges
+        # would not be (keys are hash-sprayed across files by design).
+        oc = m.order_columns[-1]
+        try:
+            back = self.spark.read.schema(df.schema).parquet(snap_dir)
+        except Exception:
+            return {}, {}
+        oc_col = F.col(oc) if oc in back.columns else F.lit(None)
+        stats = (
+            back.select(
+                F.input_file_name().alias("_file"),
+                F.col("_bucket").cast("string").alias("_b"),
+                oc_col.alias("_oc"),
+            )
+            .groupBy("_file", "_b")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min("_oc").alias("_lo"),
+                F.max("_oc").alias("_hi"),
+            )
+            .collect()
+        )
+        marker = "/" + snap_rel + "/"
         files: dict[str, list] = {}
         rows: dict[str, int] = {}
-        for (b, relpath, _), (n, lo, hi) in zip(pending, metas):
-            files.setdefault(b, []).append([relpath, schema_version, tier, lo, hi])
-            rows[b] = rows.get(b, 0) + n
+        for r in sorted(stats, key=lambda r: r["_file"]):
+            idx = r["_file"].find(marker)
+            relpath = r["_file"][idx + 1:] if idx >= 0 else r["_file"]
+            files.setdefault(r["_b"], []).append(
+                [relpath, schema_version, tier, _json_safe(r["_lo"]), _json_safe(r["_hi"])]
+            )
+            rows[r["_b"]] = rows.get(r["_b"], 0) + r["_n"]
         return files, rows
 
     # ----------------------------------------------------------- utilities
@@ -493,60 +541,96 @@ class LakeTable:
         if batch_id in m.applied_batch_ids:
             return None
         keys = m.key_columns
+        oc = m.order_columns[-1]
         current = self.schema(m)
         new_schema = evolve_schema(current, df.schema)
-        schema_versions = list(m.schema_versions)
+        schema_added: list[SchemaVersion] = []
         if new_schema.json() != current.json():
-            schema_versions.append(
-                SchemaVersion(len(schema_versions), new_schema.json(), MetaStore.now())
-            )
+            schema_added = [
+                SchemaVersion(len(m.schema_versions), new_schema.json(), MetaStore.now())
+            ]
             current = new_schema
-        current_version = schema_versions[-1].version
+        current_version = (m.schema_versions + schema_added)[-1].version
         stored_schema = _with_deleted(current)
 
         obs = Observation()
         staged = df.observe(
             obs, F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lsn_lo"), F.max("lsn").alias("lsn_hi"),
+            F.min(oc).alias("lsn_lo"), F.max(oc).alias("lsn_hi"),
         )
         staged = dedup_last_writer(
             coerce_to(staged.withColumn(DELETED_COL, F.lit(False)), stored_schema),
             keys, m.order_columns,
         ).withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
         snap_rel = f"data/refresh-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
-        new_files, bucket_rows = self._write_snapshot(staged, snap_rel, current_version, BASE)
+        new_files, bucket_rows = self._write_snapshot(staged, snap_rel, current_version, BASE, m)
         met = obs.get
+        lsn_lo = int(met["lsn_lo"]) if met["lsn_lo"] is not None else -1
+        lsn_hi = int(met["lsn_hi"]) if met["lsn_hi"] is not None else -1
         rec = CommitRecord(
             batch_id=batch_id,
-            lsn_lo=int(met["lsn_lo"]), lsn_hi=int(met["lsn_hi"]),
+            lsn_lo=lsn_lo, lsn_hi=lsn_hi,
             rows_in=int(met["n"]), rows_deduped=sum(bucket_rows.values()),
             rows_upserted=sum(bucket_rows.values()), rows_deleted=0,
             touched_buckets=sorted(int(b) for b in new_files),
             committed_at=MetaStore.now(), bucket_rows=bucket_rows,
         )
-        self.store.commit(
-            Manifest(
-                m.version + 1, m.n_buckets, keys, m.order_columns,
-                schema_versions, new_files, list(m.commits) + [rec],
-                {b: int(met["lsn_hi"]) for b in new_files},
-            )
+        # every pre-existing bucket empties unless the refresh rewrote it
+        replaces = {b: [] for b in m.bucket_files}
+        replaces.update(new_files)
+        self.store.commit_delta(
+            m,
+            LogDelta(
+                version=m.version + 1,
+                new_commits=[rec],
+                schema_versions_added=schema_added,
+                bucket_replaces=replaces,
+                watermark_updates=(
+                    {b: lsn_hi for b in new_files} if lsn_hi >= 0 else {}
+                ),
+                replace_watermarks=True,
+            ),
         )
         return rec
 
-    def changes_since(self, lsn_exclusive: int) -> DataFrame:
+    def register_cursor(self, name: str, lsn: int) -> None:
+        """Record a change-feed consumer's progress in the table
+        metadata. Compaction with tombstone GC refuses to destroy
+        delete events a registered consumer has not read yet."""
+        while True:
+            m = self.manifest
+            try:
+                self.store.commit_delta(
+                    m, LogDelta(version=m.version + 1, cursor_updates={name: int(lsn)})
+                )
+                return
+            except ConcurrentCommitError:
+                continue  # cursor updates commute — rebase and retry
+
+    def changes_since(self, lsn_exclusive: int, strict: bool = True) -> DataFrame:
         """Incremental change feed for downstream consumers: every row
         version (upserts AND tombstones, with ``_deleted``) whose lsn
         is past the cursor — the lake-table analogue of tailing the
         binlog from an offset. File skipping happens at the MANIFEST
-        level using the per-file lsn min/max lifted from parquet
-        footers at write time: only files that can contain newer rows
-        are read at all (see _files_newer_than).
+        level using the per-file lsn min/max collected at write time:
+        only files that can contain newer rows are read at all (see
+        _files_newer_than).
 
-        Caveat: compaction with tombstone GC erases delete events —
-        consumers that need deletes must keep their cursor ahead of
-        the compaction horizon (or compact with gc_tombstones=False).
-        """
+        Compaction with tombstone GC erases delete events; the table
+        records its GC horizon (manifest.tombstone_gc_lsn) and this
+        raises when the cursor is behind it — the feed would silently
+        miss deletes (pass strict=False to accept upserts-only
+        semantics). Register consumers with register_cursor so
+        compaction refuses to create this situation in the first
+        place."""
         m = self.manifest
+        if strict and lsn_exclusive < m.tombstone_gc_lsn:
+            raise ValueError(
+                f"cursor {lsn_exclusive} is behind the tombstone GC horizon "
+                f"{m.tombstone_gc_lsn}: delete events in that range were "
+                f"compacted away. Re-sync the consumer from a full read, or "
+                f"call with strict=False to accept missing deletes."
+            )
         paths_by_version = self._files_newer_than(m, lsn_exclusive)
         stored_current = _with_deleted(self.schema(m))
         if not paths_by_version:
@@ -571,44 +655,48 @@ class LakeTable:
                     out.setdefault(e[1], []).append(os.path.join(self.store.root, e[0]))
         return out
 
-    def gc_orphans(self, dry_run: bool = False) -> list[str]:
-        """Remove data files no manifest version references — leftovers
-        of crashes and lost commit races. Safe because every referenced
-        file appears in SOME version's bucket_files and versions are
-        immutable; files referenced by ANY retained version are kept
-        (snapshots stay readable for time travel until manifests are
-        themselves expired). Returns the removed relative paths."""
-        import glob as _glob
-
-        referenced: set[str] = set()
-        for vp in _glob.glob(os.path.join(self.store.meta_dir, "version-*.json")):
-            with open(vp) as f:
-                man = Manifest.from_json(f.read())
-            for entries in man.bucket_files.values():
-                for e in entries:
-                    referenced.add(os.path.normpath(e[0]))
+    def gc_orphans(self, dry_run: bool = False, older_than_s: float = 600.0) -> list[str]:
+        """Remove data files no retained manifest state references —
+        leftovers of crashes and lost commit races. Files younger than
+        ``older_than_s`` are SKIPPED: they may belong to a concurrent
+        writer mid-merge whose commit hasn't landed yet (same contract
+        as Iceberg remove_orphan_files' older-than interval; pass 0
+        only when no writer is active). Files referenced by ANY
+        retained snapshot or log record are kept, so time travel works
+        until expire_log drops that history. Returns removed relative
+        paths."""
+        fs = self.store.fs
+        referenced = {os.path.normpath(p) for p in self.store.referenced_files()}
+        now = MetaStore.now()
         removed = []
-        for path in _glob.glob(os.path.join(self.store.data_dir, "**", "*.parquet"), recursive=True):
+        for path in fs.walk_files(self.store.data_dir):
+            if not path.endswith(".parquet"):
+                continue
             rel = os.path.normpath(os.path.relpath(path, self.store.root))
-            if rel not in referenced:
-                removed.append(rel)
-                if not dry_run:
-                    os.unlink(path)
+            if rel in referenced:
+                continue
+            if now - fs.mtime(path) < older_than_s:
+                continue
+            removed.append(rel)
+            if not dry_run:
+                fs.delete(path)
         if not dry_run:  # prune dirs holding only write-marker debris
-            for d, _subdirs, files in list(os.walk(self.store.data_dir, topdown=False)):
-                leftover = os.listdir(d)
-                if all(f == "_SUCCESS" or f.endswith(".crc") for f in leftover):
-                    for f in leftover:
-                        os.unlink(os.path.join(d, f))
-                    os.rmdir(d)
+            for d in sorted(
+                {os.path.dirname(p) for p in fs.walk_files(self.store.data_dir)} |
+                {os.path.join(self.store.data_dir, n) for n in fs.listdir(self.store.data_dir)},
+                key=len, reverse=True,
+            ):
+                fs.delete_dir_if_debris(d)
         return removed
 
-    def lineage(self) -> DataFrame:
+    def lineage(self, full: bool = False) -> DataFrame:
         """The commit log as a DataFrame — per-batch lsn ranges, row
         counts, merge stats, touched buckets (the reference's
         everywhere-recounts A1/A2 collapsed into queryable metadata;
-        observe()-collected, so none of it cost an extra job)."""
-        m = self.manifest
+        observe()-collected, so none of it cost an extra job). The
+        manifest keeps the recent window; ``full=True`` replays the
+        retained log for complete history."""
+        records = self.store.all_commit_records() if full else self.manifest.commits
         rows = [
             {
                 "batch_id": c.batch_id,
@@ -621,7 +709,7 @@ class LakeTable:
                 "n_touched_buckets": len(c.touched_buckets),
                 "committed_at": float(c.committed_at),
             }
-            for c in m.commits
+            for c in records
         ]
         schema = (
             "batch_id string, lsn_lo long, lsn_hi long, rows_in long, "
@@ -633,39 +721,74 @@ class LakeTable:
     def compact(
         self,
         buckets: list[int] | None = None,
-        gc_tombstones: bool = True,
+        gc_tombstones: bool = False,
         gc_tombstones_below_lsn: int | None = None,
+        force: bool = False,
+        max_commit_retries: int = 3,
     ) -> None:
         """Fold deltas into fresh base files for the given buckets (all
-        by default), optionally GC'ing tombstones — the engine's
-        VACUUM analogue (ref: _cleanup.py:5-15). Bucket-scoped so MOR
-        maintenance cost stays O(hot buckets), not O(table)."""
-        m = self.manifest
-        targets = sorted(buckets) if buckets is not None else sorted(
-            int(b) for b in m.bucket_files
-        )
-        if not targets:
-            return
-        df = self.read(buckets=targets, include_deleted=True, manifest=m)
-        if gc_tombstones:
-            if gc_tombstones_below_lsn is None:
-                df = df.filter(~F.col(DELETED_COL))
-            else:
-                df = df.filter(
-                    (~F.col(DELETED_COL)) | (F.col("lsn") >= F.lit(gc_tombstones_below_lsn))
-                )
-        keys = m.key_columns
-        df = df.withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
-        snap_rel = f"data/compact-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
-        current_version = m.schema_versions[-1].version
-        new_files, _ = self._write_snapshot(df, snap_rel, current_version, BASE)
-        bucket_files = {b: list(v) for b, v in m.bucket_files.items()}
-        for b in targets:
-            bucket_files[str(b)] = new_files.get(str(b), [])
-        self.store.commit(
-            Manifest(
-                m.version + 1, m.n_buckets, m.key_columns, m.order_columns,
-                list(m.schema_versions), bucket_files, list(m.commits),
-                dict(m.watermarks),
+        by default) — the engine's VACUUM analogue (ref:
+        _cleanup.py:5-15). Bucket-scoped so MOR maintenance cost stays
+        O(hot buckets), not O(table).
+
+        Tombstone GC is OFF by default: purging a tombstone lets an
+        out-of-order update older than the delete resurrect the row,
+        and erases the delete event from the change feed. Turn it on
+        with a late-arrival horizon (``gc_tombstones_below_lsn`` —
+        tombstones at or above it are kept), or bare for
+        full-GC when no late events or lagging consumers exist. If
+        consumers registered cursors (register_cursor), GC that would
+        outrun the slowest cursor raises unless ``force=True``."""
+        for _attempt in range(max_commit_retries):
+            m = self.manifest
+            targets = sorted(buckets) if buckets is not None else sorted(
+                int(b) for b in m.bucket_files
             )
+            if not targets:
+                return
+            oc = m.order_columns[-1]
+            gc_horizon = -1  # max lsn whose tombstones may be purged
+            df = self.read(buckets=targets, include_deleted=True, manifest=m)
+            if gc_tombstones:
+                if gc_tombstones_below_lsn is None:
+                    gc_horizon = max([-1] + [int(w) for w in m.watermarks.values()])
+                    keep = ~F.col(DELETED_COL)
+                else:
+                    gc_horizon = int(gc_tombstones_below_lsn) - 1
+                    keep = (~F.col(DELETED_COL)) | (
+                        F.col(oc) >= F.lit(gc_tombstones_below_lsn)
+                    )
+                lagging = {
+                    name: cur for name, cur in m.cursors.items() if cur < gc_horizon
+                }
+                if lagging and not force:
+                    raise ValueError(
+                        f"tombstone GC up to lsn {gc_horizon} would destroy "
+                        f"delete events not yet consumed by cursor(s) "
+                        f"{lagging}; compact without gc_tombstones, raise "
+                        f"gc_tombstones_below_lsn, or pass force=True."
+                    )
+                df = df.filter(keep)
+            keys = m.key_columns
+            df = df.withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
+            snap_rel = f"data/compact-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
+            current_version = m.schema_versions[-1].version
+            new_files, _ = self._write_snapshot(df, snap_rel, current_version, BASE, m)
+            delta = LogDelta(
+                version=m.version + 1,
+                bucket_replaces={str(b): new_files.get(str(b), []) for b in targets},
+                tombstone_gc_lsn=(
+                    max(m.tombstone_gc_lsn, gc_horizon) if gc_tombstones else None
+                ),
+            )
+            try:
+                self.store.commit_delta(m, delta)
+                return
+            except ConcurrentCommitError:
+                # a writer appended to a target bucket mid-compact; a
+                # blind replace would drop its files — recompute from
+                # the fresh manifest (files just written stay orphaned)
+                continue
+        raise ConcurrentCommitError(
+            f"compact lost {max_commit_retries} commit races; table is hot — retry later"
         )

@@ -46,22 +46,37 @@ def salt_expr(n_salt: int, *cols: str) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt)).cast("int")
 
 
-def lww_rank(keys: list[str], order_cols: list[str]) -> Column:
-    """row_number() over keys, newest-writer-first on order_cols then a
-    total tiebreak — rank 1 is the surviving row."""
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order_cols])
+def payload_tiebreak(df: DataFrame) -> Column:
+    """Deterministic final sort key: xxhash64 over every column. Rows
+    with equal keys AND equal order columns but different payloads
+    would otherwise get a nondeterministic winner (row_number over a
+    non-total order), making replays/retries diverge. Identical rows
+    hash identically, so duplicate delivery still collapses to the
+    same row; distinct payloads get a stable, if arbitrary, winner."""
+    return F.xxhash64(*[F.col(c) for c in df.columns])
+
+
+def lww_rank(keys: list[str], order_cols: list[str], tiebreak: Column | None = None) -> Column:
+    """row_number() over keys, newest-writer-first on order_cols, then
+    ``tiebreak`` (pass payload_tiebreak(df) for a total order) — rank 1
+    is the surviving row."""
+    order = [F.col(c).desc_nulls_last() for c in order_cols]
+    if tiebreak is not None:
+        order.append(tiebreak.desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     return F.row_number().over(w)
 
 
 def dedup_last_writer(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
-    """Keep exactly one row per key: the last writer by order_cols.
+    """Keep exactly one row per key: the last writer by order_cols,
+    ties broken by payload hash (total order → deterministic replay).
 
     Reference semantics: AGO dup-PK repair (ago/ago.py:1070-1078) and
     the "doubled up" retry reconciliation (ago/ago.py:786-822), done
     set-wise in one shuffle.
     """
     return (
-        df.withColumn("_rn", lww_rank(keys, order_cols))
+        df.withColumn("_rn", lww_rank(keys, order_cols, payload_tiebreak(df)))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
@@ -79,11 +94,13 @@ def dedup_last_writer_colocated(
     of each key run via lag — no second shuffle for a downstream
     bucket-partitioned write, and the sort prefix satisfies the
     dynamic-partition writer's required ordering. This halves the
-    shuffles of the merge hot path.
+    shuffles of the merge hot path. The payload-hash tail makes the
+    sort a total order (deterministic winner on order-column ties).
     """
     w = Window.partitionBy(*part_cols).orderBy(
         *[F.col(k).asc() for k in keys],
         *[F.col(c).desc_nulls_last() for c in order_cols],
+        payload_tiebreak(df).desc(),
     )
     prev = [F.lag(F.col(k)).over(w).alias(f"_prev_{k}") for k in keys]
     marked = df.select("*", *prev)

@@ -64,19 +64,20 @@ def test_gc_orphans(spark, tmp_path):
     stream.limit(50).write.parquet(orphan_dir)
     before = t.read()
 
-    removed = t.gc_orphans(dry_run=True)
+    # default grace period protects a concurrent writer's in-flight
+    # files: freshly-written orphans are NOT collected
+    assert t.gc_orphans(dry_run=True) == []
+    # with the grace period waived (no active writers), they are
+    removed = t.gc_orphans(dry_run=True, older_than_s=0)
     assert removed and all("snap-crashed-cafe" in r for r in removed)
-    removed = t.gc_orphans()
+    removed = t.gc_orphans(older_than_s=0)
     assert not os.path.exists(orphan_dir)
     # committed data untouched — including files referenced only by OLD versions
     t.merge_batch(stream.filter(F.col("lsn") >= 400), "b1")
-    assert t.gc_orphans() == []  # everything referenced
+    assert t.gc_orphans(older_than_s=0) == []  # everything referenced
     assert_df_equal(t.read(), changegen.expected_final_state(stream))
     # time travel to the old version still works after GC
-    import json
-    with open(os.path.join(t.store.meta_dir, "version-000001.json")) as f:
-        from cityofphiladelphia_databridge_etl_tools_spark.lake.manifest import Manifest
-        old = Manifest.from_json(f.read())
+    old = t.store.read_version(1)
     assert_df_equal(
         t.read(manifest=old),
         changegen.expected_final_state(stream.filter(F.col("lsn") < 400)),

@@ -218,7 +218,7 @@ def test_compact_preserves_state(spark, tmp_path):
         t.merge_batch(full.filter((F.col("lsn") >= k * 500) & (F.col("lsn") < (k + 1) * 500)), f"b{k}")
     before = t.read()
     n_files_before = sum(len(v) for v in t.manifest.bucket_files.values())
-    t.compact()
+    t.compact(gc_tombstones=True)  # explicit opt-in: GC is off by default
     after = t.read()
     assert_df_equal(before, after)
     n_files_after = sum(len(v) for v in t.manifest.bucket_files.values())
@@ -265,6 +265,55 @@ def test_concurrent_commit_loses_cleanly(spark, tmp_path):
     assert rec is not None
     full = a.unionByName(b)
     assert_df_equal(t.read(), changegen.expected_final_state(full))
+
+
+def test_mor_lost_race_rebases_automatically(spark, tmp_path):
+    """A MOR writer that loses the commit CAS rebases its (commuting)
+    file appends onto the winner's manifest and re-commits — no replay
+    needed, both batches land."""
+    t = make_table(spark, tmp_path)
+    other = LakeTable(spark, t.store.root)
+    stream = changegen.changes(spark, 1500, seed=77)
+    t.merge_batch(stream.filter(F.col("lsn") < 500), "b0")
+
+    real = t.store.commit_delta
+    fired = {"n": 0}
+
+    def racy(parent, delta):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # a competing writer steals this log position mid-commit
+            other.merge_batch(
+                stream.filter((F.col("lsn") >= 500) & (F.col("lsn") < 1000)), "race"
+            )
+        return real(parent, delta)
+
+    t.store.commit_delta = racy
+    try:
+        rec = t.merge_batch(stream.filter(F.col("lsn") >= 1000), "b1")
+    finally:
+        t.store.commit_delta = real
+    assert rec is not None and fired["n"] == 1
+    m = t.manifest
+    assert {"b0", "race", "b1"} <= m.applied_batch_ids
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+
+
+def test_stale_hint_is_recovered_from_log(spark, tmp_path):
+    """CURRENT is advisory: a reader whose hint lags (torn commit)
+    still sees every committed batch, and replaying one is a no-op —
+    the wedge the round-1 pointer-flip design had is impossible."""
+    t = make_table(spark, tmp_path)
+    stream = changegen.changes(spark, 1000, seed=78)
+    b1, b2 = stream.filter(F.col("lsn") < 500), stream.filter(F.col("lsn") >= 500)
+    t.merge_batch(b1, "b1")
+    t.merge_batch(b2, "b2")
+    # simulate the torn commit: roll the hint back; the log is intact
+    t.store.fs.write_text(t.store.current_path, "1")
+    fresh = LakeTable(spark, t.store.root)  # cold cache, stale hint
+    assert fresh.manifest.applied_batch_ids == {"b1", "b2"}
+    assert fresh.merge_batch(b2, "b2") is None  # replay: exactly-once holds
+    assert_df_equal(fresh.read(), changegen.expected_final_state(stream))
 
 
 def test_per_turn_text_equality(spark, tmp_path):

@@ -1,0 +1,142 @@
+"""Log-structured metadata guarantees (no Spark needed — pure driver):
+flat commit cost in table age, crash recovery from a torn commit, CAS
+single-winner, time travel, log expiry."""
+
+import time
+
+import pytest
+
+from cityofphiladelphia_databridge_etl_tools_spark.lake.manifest import (
+    CommitRecord,
+    ConcurrentCommitError,
+    LogDelta,
+    Manifest,
+    MetaStore,
+    SchemaVersion,
+)
+
+
+def base_manifest(n_buckets=8):
+    return Manifest(
+        version=0,
+        n_buckets=n_buckets,
+        key_columns=["k"],
+        order_columns=["ts", "lsn"],
+        schema_versions=[SchemaVersion(0, "{}", 0.0)],
+        bucket_files={},
+        commits=[],
+        watermarks={},
+    )
+
+
+def make_delta(v, n_entries=8):
+    return LogDelta(
+        version=v,
+        new_commits=[
+            CommitRecord(f"b{v}", v * 10, v * 10 + 9, 100, 100, 100, 0, [v % 8], 0.0)
+        ],
+        bucket_appends={
+            str(v % 8): [
+                [f"data/s{v:06d}/f{i}.parquet", 0, "delta", v * 10, v * 10 + 9]
+                for i in range(n_entries)
+            ]
+        },
+        watermark_updates={str(v % 8): v * 10 + 9},
+    )
+
+
+def test_commit_cost_flat_in_table_age(tmp_path):
+    """The round-1 design serialized the FULL state per commit —
+    O(files+commits), linear decay with table age. The log design
+    serializes only the diff: the 450th commit must cost about the
+    same as the 5th (snapshot commits amortize at 1/interval)."""
+    store = MetaStore(str(tmp_path / "t"))
+    store.commit(base_manifest())
+    m = store.read_current()
+    times = []
+    for v in range(1, 501):
+        t0 = time.perf_counter()
+        m = store.commit_delta(m, make_delta(v))
+        times.append(time.perf_counter() - t0)
+    n_entries = sum(len(e) for e in m.bucket_files.values())
+    assert n_entries == 500 * 8  # state really grew 500 commits worth
+    assert len(m.applied_ids) == 500
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    early, late = med(times[:50]), med(times[-50:])
+    # generous 5x bound for box noise; the old design measured >40x here
+    assert late < early * 5, f"commit cost grew with table age: {early} -> {late}"
+
+
+def test_crash_after_delta_before_hint_recovers(tmp_path):
+    """The delta record IS the commit: a writer that died after
+    creating delta-N but before updating the CURRENT hint loses
+    nothing, and no wedge state exists (the round-1 pointer-flip
+    design wedged here)."""
+    store = MetaStore(str(tmp_path / "t"))
+    store.commit(base_manifest())
+    m = store.read_current()
+    for v in (1, 2):
+        m = store.commit_delta(m, make_delta(v))
+    # torn commit: delta-3 lands, the hint write never happens
+    assert store.fs.create_exclusive(store.delta_path(3), make_delta(3).to_json())
+    assert store.fs.read_text(store.current_path).strip() == "2"  # hint lags
+
+    fresh = MetaStore(str(tmp_path / "t"))  # new process, cold cache
+    got = fresh.read_current()
+    assert got.version == 3
+    assert "b3" in got.applied_batch_ids  # the torn commit is visible
+    # replaying b3's position loses the CAS — no infinite-retry wedge
+    with pytest.raises(ConcurrentCommitError):
+        two = MetaStore(str(tmp_path / "t"))
+        two._cache = m.copy()  # stale view at version 2, as the crashed writer's retry would have
+        two.commit_delta(m, make_delta(3))
+    # and the standard recovery (reload, next position) succeeds
+    fresh.commit_delta(got, make_delta(4))
+    assert fresh.read_current().version == 4
+
+
+def test_cas_exactly_one_winner(tmp_path):
+    store_a = MetaStore(str(tmp_path / "t"))
+    store_a.commit(base_manifest())
+    store_b = MetaStore(str(tmp_path / "t"))
+    ma, mb = store_a.read_current(), store_b.read_current()
+    store_a.commit_delta(ma, make_delta(1))
+    with pytest.raises(ConcurrentCommitError):
+        store_b.commit_delta(mb, make_delta(1))
+    # loser reloads (sees the winner) and lands at the next position
+    mb2 = store_b.read_current()
+    assert "b1" in mb2.applied_batch_ids
+    store_b.commit_delta(mb2, make_delta(2))
+    assert store_a.read_current().version == 2
+
+
+def test_time_travel_and_expire_log(tmp_path):
+    store = MetaStore(str(tmp_path / "t"), snapshot_interval=16)
+    store.commit(base_manifest())
+    m = store.read_current()
+    for v in range(1, 41):
+        m = store.commit_delta(m, make_delta(v, n_entries=2))
+    # snapshots at 0, 16, 32; deltas 0..40
+    assert store._snapshot_versions() == [0, 16, 32]
+    at_20 = store.read_version(20)
+    assert at_20.version == 20 and len(at_20.applied_ids) == 20
+    removed = store.expire_log(keep_snapshots=2)  # horizon = snapshot 16
+    assert removed and all(
+        int(p.rsplit("-", 1)[1][:9]) < 16 for p in removed
+    )
+    # current state and post-horizon travel unaffected
+    fresh = MetaStore(str(tmp_path / "t"))
+    assert fresh.read_current().version == 40
+    assert fresh.read_version(20).version == 20
+    with pytest.raises(FileNotFoundError):
+        fresh.read_version(10)  # behind the horizon
+
+
+def test_reader_mutation_cannot_corrupt_cache(tmp_path):
+    store = MetaStore(str(tmp_path / "t"))
+    store.commit(base_manifest())
+    m = store.commit_delta(store.read_current(), make_delta(1))
+    m.version = 999  # hostile caller
+    m.bucket_files.clear()
+    again = store.read_current()
+    assert again.version == 1 and again.bucket_files
