@@ -2,9 +2,9 @@
 
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as
 a (spark, sf_dir) callable; ``oracle_sql()`` gives the equivalent
-DuckDB SQL (omitted only for ops whose result is inherently
-approximate, e.g. LSH top-k recall — those get rows-only checks).
-The implementations live in
+DuckDB SQL — every registered query has one (the md5-derived LSH
+planes are deterministic, so even the ANN paths are fully
+SQL-checkable). The implementations live in
 ``cityofphiladelphia_databridge_etl_tools_spark.queries``.
 """
 

@@ -122,15 +122,45 @@ def json_encode_nested(df: DataFrame, columns: list[str]) -> DataFrame:
     return out
 
 
-def add_objectid(df: DataFrame, order_by: list[str]) -> DataFrame:
+def add_objectid(
+    df: DataFrame, order_by: list[str], n_partitions: int | None = None
+) -> DataFrame:
     """T13 (ref: airtable.py:107-109 counter, oracle.py:370-375
-    NEXT_ROWID): dense surrogate ids. Window without partition is a
-    single-reducer op — fine for dimension-sized data, use
-    monotonically_increasing_id + zipWithIndex-style for big tables."""
+    NEXT_ROWID): dense 1..N surrogate ids by the total order
+    ``order_by`` (pass a unique ordering — e.g. ending in a key — for
+    deterministic ids), distributed via the partition-offset technique:
+
+    1. range-repartition on order_by (partitions hold disjoint,
+       ordered key ranges) and persist — the SAME physical partitions
+       feed both passes, so spark_partition_id is consistent;
+    2. one tiny job counts rows per partition → cumulative offsets
+       (driver holds n_partitions longs, never rows);
+    3. row_number within each partition + its broadcast offset.
+
+    No single-partition exchange anywhere — the old global-window
+    version funneled the whole table through one reducer.
+    """
     from pyspark.sql import Window
 
-    return df.withColumn(
-        "objectid", F.row_number().over(Window.orderBy(*order_by))
+    spark = df.sparkSession
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_by]).persist()
+    pid = F.spark_partition_id()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy(pid.alias("_pid")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, running = [], 0
+    for p in sorted(counts):
+        offsets.append((p, running))
+        running += counts[p]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        ranged.withColumn("_pid", pid)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("objectid", F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
     )
 
 

@@ -274,12 +274,13 @@ def t_json_extract(spark, sf_dir):
 
 def t_surrogate_key(spark, sf_dir):
     """Surrogate objectid generation — T13 (oracle.py:370-375
-    NEXT_ROWID, airtable.py:107-109): deterministic dense row ids."""
+    NEXT_ROWID, airtable.py:107-109): deterministic dense row ids via
+    the distributed partition-offset technique (no single-reducer
+    global window)."""
+    from ..operators.transforms import add_objectid
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    return d.select("doc_id", "source").withColumn(
-        "objectid", F.row_number().over(w)
-    )
+    return add_objectid(d.select("doc_id", "source"), ["doc_id"], n_partitions=8)
 
 
 def _synthetic_geoms(spark, sf_dir):
@@ -330,6 +331,130 @@ def t_point_latlng(spark, sf_dir):
 
     g = _synthetic_geoms(spark, sf_dir)
     return TR.point_to_lat_lng(g).select("doc_id", "lat", "lng")
+
+
+def t_reproject(spark, sf_dir):
+    """T6 (ref: ago/ago.py:351-427 pyproj 2272→4326, opendata.py:186-244
+    project-then-latlng): closed-form Lambert-conformal-conic inverse
+    as pure column math over synthetic PA-South state-plane feet."""
+    from ..operators.geo import reproject_2272_to_4326
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pts = d.withColumn(
+        "x_ft", (F.lit(2_200_000) + (F.col("doc_id") % 1000) * 800).cast("double")
+    ).withColumn(
+        "y_ft", (F.lit(100_000) + ((F.col("doc_id") * 7) % 1000) * 400).cast("double")
+    )
+    return reproject_2272_to_4326(pts, "x_ft", "y_ft").select("doc_id", "lat", "lng")
+
+
+def t_clean_remote(spark, sf_dir):
+    """T5 (ref: ago/ago.py:436-474): strip non-ascii and '\"<>
+    characters before remote upload, empty→null — exercised on text
+    deliberately salted with both classes."""
+    from ..operators.transforms import clean_for_remote
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(' <"é"> ')).alias("text")
+    )
+    out = clean_for_remote(d, ["text"])
+    return out.select("doc_id", "text", F.length("text").alias("clean_len"))
+
+
+def t_batch_enrich(spark, sf_dir):
+    """T14 (ref: ais_geocoder.py:40-114 one-HTTP-per-row): batched
+    executor-side lookup enrichment with a deterministic fake service
+    (zip derived from the key — mirrors the geocoder contract)."""
+    from pyspark.sql import types as T
+
+    from ..operators.enrich import batch_lookup_enrich
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def fake_service(keys):
+        return {k: {"zip": f"19{100 + int(k) % 100}"} for k in keys}
+
+    out = batch_lookup_enrich(
+        cust, "c_custkey", fake_service, [("zip", T.StringType())], batch_size=500
+    )
+    return out.groupBy("c_mktsegment", "zip").agg(F.count(F.lit(1)).alias("n"))
+
+
+def k_dead_letter(spark, sf_dir):
+    """K9 (ref: ago/ago.py:319-344 timestamped -errors.txt, pipeline
+    continues): rows with an invalid op are captured to the dead-letter
+    sink while the valid rest of the batch commits; the captured set is
+    the query result."""
+    from ..lake import LakeTable
+    from pyspark.sql import types as T
+
+    ch = _as_changes(_events(spark, sf_dir)).withColumn(
+        "op", F.when(F.col("lsn") % 97 == 0, F.lit("X")).otherwise(F.col("op"))
+    )
+    schema = T.StructType([f for f in ch.schema.fields if f.name != "op"])
+    root = tempfile.mkdtemp(prefix="cdc_dlq_") + "/t"
+    t = LakeTable.create(spark, root, schema, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8)
+    t.merge_batch(ch, "dlq-0", on_bad_rows="dead_letter")
+    captured = spark.read.parquet(f"{root}/_errors/*")
+    return captured.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_bad"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.min("lsn").alias("lsn_lo"),
+        F.max("lsn").alias("lsn_hi"),
+    )
+
+
+def s_csv_fallback(spark, sf_dir):
+    """S5 (ref: postgres.py:152-156 utf-8→latin-1 fallback): a staging
+    CSV written in latin-1 (bytes invalid as utf-8) must round-trip
+    through the encoding-fallback reader."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..sources import read_csv
+
+    rows = sorted(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+        key=lambda r: r["n_nationkey"],
+    )
+    d = tempfile.mkdtemp(prefix="csv_latin1_")
+    with open(os.path.join(d, "part.csv"), "w", encoding="iso-8859-1") as f:
+        f.write("n_nationkey,name\n")
+        for r in rows:
+            f.write(f"{r['n_nationkey']},{r['n_name']}é\n")
+    schema = T.StructType(
+        [T.StructField("n_nationkey", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    return read_csv(spark, d, schema=schema)
+
+
+def s_paged_rest(spark, sf_dir):
+    """S7/S8 (ref: airtable.py:70-94, knack.py:98-118): offset-paged
+    REST ingestion through the bounded-buffer source (pages of 7,
+    spill every 10 rows — exercises the parquet-stage path)."""
+    from pyspark.sql import types as T
+
+    from ..sources import paged_rest_source
+
+    rows = [
+        {"n_nationkey": r["n_nationkey"], "n_name": r["n_name"]}
+        for r in sorted(
+            _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+            key=lambda x: x["n_nationkey"],
+        )
+    ]
+    schema = T.StructType(
+        [T.StructField("n_nationkey", T.LongType()), T.StructField("n_name", T.StringType())]
+    )
+
+    def fetch_page(offset):
+        return rows[offset:offset + 7]
+
+    return paged_rest_source(
+        spark, fetch_page, schema, page_size=7, flush_rows=10,
+        spill_dir=tempfile.mkdtemp(prefix="paged_rest_q_"),
+    )
 
 
 # ---------------------------------------------------------------- analytics
@@ -631,7 +756,7 @@ CORE_REGISTRY = {
         t_surrogate_key,
         """
         SELECT doc_id, source,
-               CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS objectid
+               CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS objectid
         FROM documents
         """,
     ),
@@ -674,6 +799,51 @@ CORE_REGISTRY = {
                CASE WHEN ys = '' THEN NULL ELSE CAST(ys AS DOUBLE) END AS lat,
                CASE WHEN xs = '' THEN NULL ELSE CAST(xs AS DOUBLE) END AS lng
         FROM e
+        """,
+    ),
+    "t_clean_remote": (
+        t_clean_remote,
+        """
+        WITH c AS (
+          SELECT doc_id,
+                 NULLIF(regexp_replace(text || ' <"é"> ',
+                        '[^\\x20-\\x7E]|[''"<>]', '', 'g'), '') AS text
+          FROM documents
+        )
+        SELECT doc_id, text, CAST(length(text) AS INT) AS clean_len FROM c
+        """,
+    ),
+    "t_batch_enrich": (
+        t_batch_enrich,
+        """
+        SELECT c_mktsegment,
+               '19' || CAST(100 + c_custkey % 100 AS VARCHAR) AS zip,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+        """,
+    ),
+    "k_dead_letter": (
+        k_dead_letter,
+        f"""
+        WITH c0 AS ({_CHANGES_SQL}),
+        c AS (SELECT conv_id, lsn, CASE WHEN lsn % 97 = 0 THEN 'X' ELSE op END AS op FROM c0)
+        SELECT op, CAST(count(*) AS BIGINT) AS n_bad,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(min(lsn) AS BIGINT) AS lsn_lo, CAST(max(lsn) AS BIGINT) AS lsn_hi
+        FROM c WHERE op = 'X' GROUP BY op
+        """,
+    ),
+    "s_csv_fallback": (
+        s_csv_fallback,
+        """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name || 'é' AS name
+        FROM nation
+        """,
+    ),
+    "s_paged_rest": (
+        s_paged_rest,
+        """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
         """,
     ),
     "q1_pricing_summary": (
@@ -770,6 +940,7 @@ CORE_REGISTRY = {
         FROM events GROUP BY event_type
         """,
     ),
+    "t_reproject": (t_reproject, None),  # filled below (shared LCC SQL)
     "sessionize_events": (
         sessionize_events,
         """
@@ -813,3 +984,18 @@ CORE_REGISTRY = {
         """,
     ),
 }
+
+
+def _reproject_oracle_sql() -> str:
+    """The oracle runs the IDENTICAL expression string the Spark plan
+    executes (operators/geo.py builds both) — cross-engine agreement
+    by construction, not by tolerance."""
+    from ..operators.geo import lcc_2272_inverse_sql
+
+    x = "CAST(2200000 + (doc_id % 1000) * 800 AS DOUBLE)"
+    y = "CAST(100000 + ((doc_id * 7) % 1000) * 400 AS DOUBLE)"
+    lng_sql, lat_sql = lcc_2272_inverse_sql(x, y)
+    return f"SELECT doc_id, {lat_sql} AS lat, {lng_sql} AS lng FROM documents"
+
+
+CORE_REGISTRY["t_reproject"] = (t_reproject, _reproject_oracle_sql())

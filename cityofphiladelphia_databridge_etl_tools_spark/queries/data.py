@@ -107,10 +107,20 @@ def doc_fingerprint(spark, sf_dir):
 # -------------------------------------------------------------- multimodal
 def mm_extract_meta(spark, sf_dir):
     """Binary-column metadata extraction via Arrow-batched mapInPandas —
-    the multimodal plumbing op (decode itself is stubbed; see
+    the multimodal plumbing op (library-backed codecs are stubbed; see
     operators.multimodal)."""
     media = MM.docs_as_media(_docs(spark, sf_dir))
     return MM.extract_meta(media)
+
+
+def mm_decode_wav(spark, sf_dir):
+    """REAL codec path, no external libs: deterministic PCM-16 WAV
+    blobs are encoded from the documents fixture, then the RIFF
+    container is byte-decoded back (chunk walk, fmt/data unpack) —
+    encode→decode roundtrip verified against a SQL oracle computing
+    the same fields from the construction parameters."""
+    media = MM.encode_wav_pcm16(_docs(spark, sf_dir))
+    return MM.decode_wav_meta(media)
 
 
 # --------------------------------------------------------------- streaming
@@ -242,9 +252,56 @@ DATA_REGISTRY = {
         SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY bucket
         """,
     ),
-    # LSH top-k recall depends on bucket collisions — verified against
-    # the brute-force oracle in tests, not SQL (rows-only check here).
-    "ann_lsh_topk": (ann_lsh_topk, None),
+    # full SQL oracle: the md5-derived hyperplanes are deterministic,
+    # so bucket assignment, the multi-table candidate union, and the
+    # cosine re-rank are all reproducible in DuckDB (recall vs brute
+    # force is additionally property-tested in pytest).
+    "ann_lsh_topk": (
+        ann_lsh_topk,
+        """
+        WITH d AS (
+          SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS val
+          FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        ),
+        tp AS (
+          SELECT t.t AS tbl, p.p AS p
+          FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+               (SELECT unnest(generate_series(0, 3)) AS p) p
+        ),
+        s AS (
+          SELECT vec_id, tbl, p,
+                 sum(val * CASE WHEN strpos('0123456789abcdef',
+                        substr(md5(concat_ws('_',
+                          CASE WHEN tbl = 0 THEN CAST(p AS VARCHAR)
+                               ELSE 't' || tbl || 'p' || p END,
+                          i - 1)), 1, 1)) - 1 >= 8
+                      THEN 1.0 ELSE -1.0 END) AS s
+          FROM d, tp GROUP BY vec_id, tbl, p
+        ),
+        b AS (
+          SELECT vec_id, tbl,
+                 CAST(sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS INT) AS bucket
+          FROM s GROUP BY vec_id, tbl
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+          FROM b q JOIN b v ON q.tbl = v.tbl AND q.bucket = v.bucket
+          WHERE q.vec_id < 10 AND q.vec_id <> v.vec_id
+        ),
+        sc AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                              CAST(ne.embedding AS DOUBLE[])), 4) AS sim
+          FROM cand c
+          JOIN embeddings qe ON qe.vec_id = c.query_id
+          JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sc)
+        SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+        """,
+    ),
     "text_token_count": (
         text_token_count,
         """
@@ -302,6 +359,26 @@ DATA_REGISTRY = {
                CAST(octet_length(encode(d.text)) % 480 AS INT) AS fake_height,
                cs.checksum
         FROM documents d JOIN cs ON cs.doc_id = d.doc_id
+        """,
+    ),
+    "mm_decode_wav": (
+        mm_decode_wav,
+        """
+        WITH p AS (
+          SELECT doc_id,
+                 1 + doc_id % 2 AS chan,
+                 8000 * (1 + doc_id % 3) AS rate,
+                 1 + length(text) % 400 AS ns
+          FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(44 + ns * chan * 2 AS BIGINT) AS n_bytes,
+               CAST(chan AS BIGINT) AS channels,
+               CAST(rate AS BIGINT) AS sample_rate,
+               CAST(16 AS BIGINT) AS bits,
+               CAST(ns AS BIGINT) AS n_samples,
+               CAST(ns * 1000000 // rate AS BIGINT) AS duration_us
+        FROM p
         """,
     ),
     "stream_hourly_counts": (

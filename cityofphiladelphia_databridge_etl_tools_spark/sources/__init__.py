@@ -80,6 +80,8 @@ def paged_rest_source(
     schema: T.StructType,
     page_size: int = 1000,
     max_pages: int = 100_000,
+    flush_rows: int = 50_000,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """S7/S8 (ref: airtable.py:70-94, knack.py:98-118): offset-paged
     REST ingestion. Pagination is inherently driver-sequential (each
@@ -89,16 +91,36 @@ def paged_rest_source(
 
     ``fetch_page(offset)`` returns up to page_size dict rows; empty →
     stop. Inject a real HTTP fetcher in production; tests inject a
-    deterministic fake."""
-    rows: list[dict] = []
+    deterministic fake.
+
+    Driver memory is bounded: every ``flush_rows`` buffered rows are
+    spilled to a parquet stage under ``spill_dir`` (tempdir default)
+    and the buffer cleared, so a million-row corpus never lives in a
+    driver list — the result unions the spilled stages with the tail
+    buffer."""
+    import tempfile
+
+    buffer: list[dict] = []
+    stages: list[str] = []
+    stage_root: str | None = None
     offset = 0
     for _ in range(max_pages):
         page = list(fetch_page(offset))
-        rows.extend(page)
+        buffer.extend(page)
+        if len(buffer) >= flush_rows:
+            if stage_root is None:
+                stage_root = spill_dir or tempfile.mkdtemp(prefix="paged_rest_")
+            path = f"{stage_root}/stage-{len(stages):06d}"
+            spark.createDataFrame(buffer, schema).write.parquet(path)
+            stages.append(path)
+            buffer = []
         if len(page) < page_size:
             break
         offset += len(page)
-    return spark.createDataFrame(rows, schema)
+    df = spark.createDataFrame(buffer, schema)
+    if stages:
+        df = spark.read.schema(schema).parquet(*stages).unionByName(df)
+    return df
 
 
 def read_jdbc(

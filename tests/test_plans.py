@@ -66,6 +66,25 @@ def test_mor_merge_is_single_exchange(spark, tmp_path):
     assert count_exchanges(winners) == 1, formatted_plan(winners)
 
 
+def test_add_objectid_has_no_single_partition_exchange(spark, sf_dir):
+    """Surrogate-id assignment must not funnel the table through one
+    reducer: ids come from per-partition row_number + broadcast
+    offsets, so the plan has no Exchange SinglePartition and the
+    offset join is broadcast."""
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.transforms import add_objectid
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    out = add_objectid(d, ["doc_id"], n_partitions=4)
+    plan = formatted_plan(out)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert uses_broadcast_join(out)
+    # ids are the exact global row_number by doc_id
+    rows = out.orderBy("doc_id").collect()
+    assert [r["objectid"] for r in rows] == list(range(1, len(rows) + 1))
+    in_order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["objectid"])]
+    assert in_order == sorted(in_order)
+
+
 def test_bucket_pruned_read_lists_only_touched_files(spark, tmp_path):
     """Manifest-driven pruning: reading 1 bucket must reference only
     that bucket's files in the scan."""
