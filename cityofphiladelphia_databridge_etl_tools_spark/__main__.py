@@ -63,10 +63,26 @@ def main(argv: list[str] | None = None) -> int:
     k = sub.add_parser("compact", help="fold deltas / GC tombstones")
     k.add_argument("--root", required=True)
     k.add_argument("--buckets", default=None, help="comma-separated; default all")
+    k.add_argument("--gc-tombstones", action="store_true",
+                   help="also purge tombstones (refuses to outrun registered cursors)")
+    k.add_argument("--below-lsn", type=int, default=None,
+                   help="only GC tombstones below this lsn (late-arrival horizon)")
+    k.add_argument("--force", action="store_true")
 
     g = sub.add_parser("gc", help="remove orphaned data files (crash/race leftovers)")
     g.add_argument("--root", required=True)
     g.add_argument("--dry-run", action="store_true")
+    g.add_argument("--older-than", type=float, default=600.0,
+                   help="grace period in seconds (protects in-flight writers)")
+
+    x = sub.add_parser("expire-log", help="drop metadata log history before a snapshot horizon")
+    x.add_argument("--root", required=True)
+    x.add_argument("--keep-snapshots", type=int, default=2)
+
+    u = sub.add_parser("cursor", help="register a change-feed consumer's progress")
+    u.add_argument("--root", required=True)
+    u.add_argument("--name", required=True)
+    u.add_argument("--lsn", type=int, required=True)
 
     w = sub.add_parser("show", help="manifest summary + lineage")
     w.add_argument("--root", required=True)
@@ -122,15 +138,28 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         t = LakeTable(spark, args.root)
         buckets = [int(b) for b in args.buckets.split(",")] if args.buckets else None
-        t.compact(buckets=buckets)
+        t.compact(
+            buckets=buckets,
+            gc_tombstones=args.gc_tombstones,
+            gc_tombstones_below_lsn=args.below_lsn,
+            force=args.force,
+        )
         print("compacted")
     elif args.cmd == "gc":
         t = LakeTable(spark, args.root)
-        removed = t.gc_orphans(dry_run=args.dry_run)
+        removed = t.gc_orphans(dry_run=args.dry_run, older_than_s=args.older_than)
         verb = "would remove" if args.dry_run else "removed"
         print(f"{verb} {len(removed)} orphaned files")
         for r in removed[:20]:
             print(" ", r)
+    elif args.cmd == "expire-log":
+        t = LakeTable(spark, args.root)
+        removed = t.store.expire_log(keep_snapshots=args.keep_snapshots)
+        print(f"expired {len(removed)} metadata records")
+    elif args.cmd == "cursor":
+        t = LakeTable(spark, args.root)
+        t.register_cursor(args.name, args.lsn)
+        print(f"cursor {args.name} -> {args.lsn}")
     elif args.cmd == "show":
         t = LakeTable(spark, args.root)
         m = t.manifest
@@ -139,7 +168,9 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"version={m.version} buckets={m.n_buckets} keys={m.key_columns} "
             f"order={m.order_columns} schema_v={m.schema_versions[-1].version} "
-            f"files={n_files} (delta={n_delta}) commits={len(m.commits)}"
+            f"files={n_files} (delta={n_delta}) commits={len(m.commits)} "
+            f"applied={len(m.applied_ids)} cursors={m.cursors} "
+            f"tombstone_gc_lsn={m.tombstone_gc_lsn}"
         )
         t.lineage().orderBy("committed_at").show(50, truncate=False)
     return 0

@@ -164,6 +164,20 @@ def add_objectid(
     )
 
 
+def parse_source_datetime(
+    df: DataFrame, columns: list[str], fmt: str = "MM/dd/yyyy hh:mm a"
+) -> DataFrame:
+    """T12 (ref: knack/knack.py:120-135, which strptime's
+    '%m/%d/%Y %I:%M %p' per row): source-format datetime strings →
+    timestamps, vectorized. Unparseable values become NULL (try_ mode)
+    instead of failing the job — route them to the dead-letter sink if
+    they must be accounted for."""
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.try_to_timestamp(F.col(c), F.lit(fmt)))
+    return out
+
+
 def empty_clone(df: DataFrame) -> DataFrame:
     """T15 (ref: WHERE 1=0 temp-table clones, postgres.py:370-377)."""
     return df.limit(0)

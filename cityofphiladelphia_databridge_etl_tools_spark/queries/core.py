@@ -457,6 +457,33 @@ def s_paged_rest(spark, sf_dir):
     )
 
 
+def t_parse_datetime(spark, sf_dir):
+    """T12 (ref: knack/knack.py:120-135 '%m/%d/%Y %I:%M %p'): parse
+    source-format datetime strings (rendered from the events fixture,
+    so the roundtrip is exact to the minute)."""
+    from ..operators.transforms import parse_source_datetime
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "MM/dd/yyyy hh:mm a").alias("raw"),
+    )
+    parsed = parse_source_datetime(ev.withColumn("parsed", F.col("raw")), ["parsed"])
+    return parsed.groupBy("event_type").agg(
+        F.count("parsed").alias("n_parsed"),
+        F.min("parsed").alias("min_ts"),
+        F.max("parsed").alias("max_ts"),
+    )
+
+
+def stream_session_counts(spark, sf_dir):
+    """Streaming sessionization via session_window + watermark (the
+    state-store path); oracle is an independent batch lag+cumsum
+    replay with session_window's >=gap boundary rule."""
+    from ..streaming.pipeline import run_session_windows
+
+    return run_session_windows(spark, sf_dir)
+
+
 # ---------------------------------------------------------------- analytics
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: the engine's heavy-agg benchmark query. Decimal
@@ -941,6 +968,45 @@ CORE_REGISTRY = {
         """,
     ),
     "t_reproject": (t_reproject, None),  # filled below (shared LCC SQL)
+    "t_parse_datetime": (
+        t_parse_datetime,
+        """
+        SELECT event_type,
+               CAST(count(strptime(strftime(ts, '%m/%d/%Y %I:%M %p'),
+                                   '%m/%d/%Y %I:%M %p')) AS BIGINT) AS n_parsed,
+               min(strptime(strftime(ts, '%m/%d/%Y %I:%M %p'),
+                            '%m/%d/%Y %I:%M %p')) AS min_ts,
+               max(strptime(strftime(ts, '%m/%d/%Y %I:%M %p'),
+                            '%m/%d/%Y %I:%M %p')) AS max_ts
+        FROM events GROUP BY event_type
+        """,
+    ),
+    "stream_session_counts": (
+        stream_session_counts,
+        """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        ),
+        per AS (
+          SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(max(n_events) AS BIGINT) AS max_session_events,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM per GROUP BY user_id
+        """,
+    ),
     "sessionize_events": (
         sessionize_events,
         """

@@ -94,6 +94,50 @@ def stream_dedup_changes(
     )
 
 
+def run_session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization: ``session_window`` (dynamic-gap merge
+    windows, state-store backed) per user over the events stream —
+    the streaming twin of the batch lag+cumsum sessionize query.
+    Complete mode to a memory sink → deterministic on a finite source.
+
+    Boundary semantics: session_window closes a session when the next
+    event is >= gap after the last one (the window end is exclusive),
+    so an exactly-gap-sized silence starts a new session.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    per_session = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        per_session.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
 def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window counts + sums per event_type over the
     events stream, with a 1-hour watermark for late data. Complete
