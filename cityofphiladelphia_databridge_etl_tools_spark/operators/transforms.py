@@ -164,6 +164,52 @@ def add_objectid(
     )
 
 
+def to_esri_json(
+    df: DataFrame,
+    geom_col: str = "shape",
+    srid_col: str | None = None,
+    out_col: str = "esri_json",
+) -> DataFrame:
+    """T6 second half (ref: ago/ago.py:954-1008 convert_geometry →
+    ESRI JSON dicts; EMPTY → NaN/[]): EWKT POINT → ``{"x":…,"y":…}``,
+    single-ring POLYGON → ``{"rings":[[…]]}``, EMPTY/unsupported →
+    NULL — assembled with string/array column expressions, no UDF.
+    SRID comes from ``srid_col`` when given (so bad-SRID remap can run
+    first), else from the EWKT prefix."""
+    g = F.col(geom_col)
+    prefix_srid = F.regexp_extract(g, r"^SRID=(\d+);", 1)
+    srid = (
+        F.col(srid_col).cast("string")
+        if srid_col
+        else F.when(prefix_srid == "", "4326").otherwise(prefix_srid)
+    )
+    body = F.regexp_replace(g, r"^SRID=\d+;", "")
+    xs = F.regexp_extract(body, r"^POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 1)
+    ys = F.regexp_extract(body, r"^POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 2)
+    point_json = F.concat(
+        F.lit('{"x":'), xs, F.lit(',"y":'), ys,
+        F.lit(',"spatialReference":{"wkid":'), srid, F.lit("}}"),
+    )
+    inner = F.regexp_extract(body, r"^POLYGON\s*\(\((.*)\)\)\s*$", 1)
+    ring = F.array_join(
+        F.transform(
+            F.split(inner, ",\\s*"),
+            lambda p: F.concat(F.lit("["), F.regexp_replace(F.trim(p), " +", ","), F.lit("]")),
+        ),
+        ",",
+    )
+    poly_json = F.concat(
+        F.lit('{"rings":[['), ring, F.lit(']],"spatialReference":{"wkid":'), srid, F.lit("}}"),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(g.isNull() | body.rlike("EMPTY"), F.lit(None))
+        .when(body.rlike(r"^POINT\s*\("), point_json)
+        .when(body.rlike(r"^POLYGON\s*\(\("), poly_json)
+        .otherwise(F.lit(None)),
+    )
+
+
 def parse_source_datetime(
     df: DataFrame, columns: list[str], fmt: str = "MM/dd/yyyy hh:mm a"
 ) -> DataFrame:

@@ -348,6 +348,17 @@ def t_reproject(spark, sf_dir):
     return reproject_2272_to_4326(pts, "x_ft", "y_ft").select("doc_id", "lat", "lng")
 
 
+def t_esri_json(spark, sf_dir):
+    """T6 publish leg (ref: ago/ago.py:954-1008 convert_geometry):
+    EWKT → ESRI JSON after bad-SRID remap — POINTs become x/y dicts,
+    single-ring POLYGONs become rings, EMPTY stays null."""
+    from ..operators import transforms as TR
+
+    g = _synthetic_geoms(spark, sf_dir)
+    out = TR.to_esri_json(TR.remap_bad_srid(TR.extract_srid(g)), srid_col="srid")
+    return out.select("doc_id", "esri_json")
+
+
 def t_clean_remote(spark, sf_dir):
     """T5 (ref: ago/ago.py:436-474): strip non-ascii and '\"<>
     characters before remote upload, empty→null — exercised on text
@@ -826,6 +837,39 @@ CORE_REGISTRY = {
                CASE WHEN ys = '' THEN NULL ELSE CAST(ys AS DOUBLE) END AS lat,
                CASE WHEN xs = '' THEN NULL ELSE CAST(xs AS DOUBLE) END AS lng
         FROM e
+        """,
+    ),
+    "t_esri_json": (
+        t_esri_json,
+        f"""
+        WITH {_GEOM_SQL},
+        e AS (
+          SELECT doc_id, shape,
+                 CASE WHEN regexp_extract(shape, '^SRID=(\\d+);', 1) = '' THEN NULL
+                      ELSE CAST(regexp_extract(shape, '^SRID=(\\d+);', 1) AS INT) END AS srid0,
+                 regexp_replace(shape, '^SRID=\\d+;', '') AS body
+          FROM geoms
+        ),
+        r AS (
+          SELECT doc_id, body,
+                 CAST(CASE WHEN srid0 = 300001 THEN 2272 ELSE srid0 END AS VARCHAR) AS srid,
+                 regexp_extract(body, '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 1) AS xs,
+                 regexp_extract(body, '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 2) AS ys,
+                 regexp_extract(body, '^POLYGON\\s*\\(\\((.*)\\)\\)\\s*$', 1) AS ring_src
+          FROM e
+        )
+        SELECT doc_id,
+          CASE
+            WHEN body LIKE '%EMPTY%' THEN NULL
+            WHEN regexp_matches(body, '^POINT\\s*\\(')
+              THEN '{{"x":' || xs || ',"y":' || ys || ',"spatialReference":{{"wkid":' || srid || '}}}}'
+            WHEN regexp_matches(body, '^POLYGON\\s*\\(\\(')
+              THEN '{{"rings":[[' ||
+                   array_to_string(list_transform(string_split(ring_src, ', '),
+                                   p -> '[' || replace(p, ' ', ',') || ']'), ',')
+                   || ']],"spatialReference":{{"wkid":' || srid || '}}}}'
+            ELSE NULL END AS esri_json
+        FROM r
         """,
     ),
     "t_clean_remote": (

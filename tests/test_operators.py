@@ -55,6 +55,25 @@ def test_promote_multi_geometry(spark):
     assert out[4] is None
 
 
+def test_to_esri_json(spark):
+    rows = [
+        ("SRID=2272;POINT (1 2)",),
+        ("SRID=4326;POLYGON ((0 0, 3 0, 3 4, 0 0))",),
+        ("SRID=4326;MULTIPOINT EMPTY",),
+        ("POINT (7 8)",),  # no prefix → wkid defaults to 4326
+        (None,),
+    ]
+    out = [r["esri_json"] for r in TR.to_esri_json(
+        spark.createDataFrame(rows, ["shape"])).collect()]
+    assert out[0] == '{"x":1,"y":2,"spatialReference":{"wkid":2272}}'
+    assert out[1] == '{"rings":[[[0,0],[3,0],[3,4],[0,0]]],"spatialReference":{"wkid":4326}}'
+    assert out[2] is None
+    assert out[3] == '{"x":7,"y":8,"spatialReference":{"wkid":4326}}'
+    assert out[4] is None
+    import json
+    assert json.loads(out[1])["rings"][0][2] == [3, 4]  # valid JSON
+
+
 def test_srid_extract_and_remap(spark):
     df = spark.createDataFrame(
         [("SRID=300001;POINT (1 2)",), ("SRID=4326;POINT (3 4)",)], ["shape"]
