@@ -655,6 +655,48 @@ class LakeTable:
                     out.setdefault(e[1], []).append(os.path.join(self.store.root, e[0]))
         return out
 
+    def read_key(self, key_value, extra_filter=None) -> DataFrame:
+        """Point lookup by the bucketing key: manifest-pruned to the
+        ONE bucket the key hashes to, then filtered (parquet min/max
+        row-group stats on the key-sorted files prune inside the
+        bucket). The engine's answer to the reference's per-row AGO
+        point query (ago/ago.py:1317-1360) — O(1 bucket), not
+        O(table)."""
+        m = self.manifest
+        key0 = m.key_columns[0]
+        b = (
+            self.spark.range(1)
+            .select(bucket_expr(F.lit(key_value), m.n_buckets).alias("b"))
+            .collect()[0]["b"]
+        )
+        out = self.read(buckets=[b], manifest=m).filter(F.col(key0) == F.lit(key_value))
+        if extra_filter is not None:
+            out = out.filter(extra_filter)
+        return out
+
+    def gc_dead_letters(self, dry_run: bool = False, older_than_s: float = 7 * 86400.0) -> list[str]:
+        """Expire old dead-letter captures (sinks.dead_letter writes
+        under <root>/_errors/<timestamp>) — the reference's -errors.txt
+        files accumulate in S3 forever; here retention is a table
+        maintenance op like orphan GC."""
+        fs = self.store.fs
+        now = MetaStore.now()
+        removed = []
+        for path in fs.walk_files(f"{self.store.root}/_errors"):
+            if now - fs.mtime(path) < older_than_s:
+                continue
+            removed.append(os.path.relpath(path, self.store.root))
+            if not dry_run:
+                fs.delete(path)
+        if not dry_run:
+            for d in sorted(
+                {os.path.dirname(p) for p in fs.walk_files(f"{self.store.root}/_errors")} |
+                {f"{self.store.root}/_errors/{n}" for n in fs.listdir(f"{self.store.root}/_errors")},
+                key=len, reverse=True,
+            ):
+                fs.delete_dir_if_debris(d)
+        return removed
+
     def gc_orphans(self, dry_run: bool = False, older_than_s: float = 600.0) -> list[str]:
         """Remove data files no retained manifest state references —
         leftovers of crashes and lost commit races. Files younger than

@@ -46,18 +46,44 @@ class LsnWindowRunner:
                 best = max(best, int(hi))
         return best
 
-    def run_until(self, until_lsn: int) -> list[CommitRecord]:
+    def run_until(self, until_lsn: int, pipeline_depth: int = 1) -> list[CommitRecord]:
         """Apply consecutive windows up to (not incl.) until_lsn.
         Safe to call after a crash mid-run: committed windows are
         skipped by their batch ids; a half-written window (files but
-        no pointer flip) is orphaned and re-merged."""
-        records = []
+        no log record) is orphaned and re-merged.
+
+        ``pipeline_depth > 1`` submits that many windows concurrently
+        from driver threads, so one window's shuffle/sort/write
+        overlaps another's — the scheduler interleaves their stages
+        across idle slots. Requires MOR: delta-file appends and
+        max-merged watermarks COMMUTE, so whichever writer loses the
+        log-position CAS rebases and re-commits automatically
+        (lake/table.py merge retry); batch ids stay the exactly-once
+        guard. LWW ordering is (ts, lsn), not commit order, so the
+        final state is independent of commit interleaving."""
+        windows = []
         lo = self.resume_lsn()
         while lo < until_lsn:
             hi = min(lo + self.events_per_batch, until_lsn)
-            batch = self.source(lo, hi)
-            rec = self.table.merge_batch(batch, f"lsn-{lo}-{hi}", mode=self.mode)
-            if rec is not None:
-                records.append(rec)
+            windows.append((lo, hi))
             lo = hi
-        return records
+
+        def apply(w):
+            wlo, whi = w
+            return self.table.merge_batch(
+                self.source(wlo, whi), f"lsn-{wlo}-{whi}", mode=self.mode
+            )
+
+        if pipeline_depth <= 1:
+            records = [apply(w) for w in windows]
+        else:
+            if self.mode != "mor":
+                raise ValueError(
+                    "pipelined ingest requires mode='mor' (COW commits do not "
+                    "commute, so a lost race needs a replay, not a rebase)"
+                )
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=pipeline_depth) as ex:
+                records = list(ex.map(apply, windows))
+        return [r for r in records if r is not None]

@@ -16,6 +16,13 @@ def _source(spark, seed=41):
     return fetch
 
 
+def make_table(spark, tmp_path, n_buckets=8):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=n_buckets,
+    )
+
+
 def test_runner_resumes_from_commit_log(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
@@ -35,6 +42,70 @@ def test_runner_resumes_from_commit_log(spark, tmp_path):
 
     # re-running the same range is a complete no-op
     assert LsnWindowRunner(t, src, events_per_batch=700).run_until(2800) == []
+
+
+def test_pipelined_ingest_converges(spark, tmp_path):
+    """pipeline_depth=3: windows merge concurrently from driver
+    threads; lost CAS races rebase (MOR appends commute) and the final
+    state equals the sequential replay oracle with every window's
+    batch id committed exactly once."""
+    t = make_table(spark, tmp_path)
+    full = changegen.changes(spark, 2000, seed=61)
+
+    def source(lo, hi):
+        return full.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+    runner = LsnWindowRunner(t, source, events_per_batch=250)
+    recs = runner.run_until(2000, pipeline_depth=3)
+    assert len(recs) == 8
+    m = t.manifest
+    assert {f"lsn-{k*250}-{(k+1)*250}" for k in range(8)} <= m.applied_batch_ids
+    from tests.test_lake_merge import assert_df_equal
+    assert_df_equal(t.read(), changegen.expected_final_state(full))
+    # replay after the fact is still a no-op
+    assert runner.run_until(2000, pipeline_depth=3) == []
+    import pytest
+    with pytest.raises(ValueError, match="mor"):
+        LsnWindowRunner(t, source, mode="cow").run_until(2000, pipeline_depth=2)
+
+
+def test_read_key_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    stream = changegen.changes(spark, 1500, seed=62)
+    t.merge_batch(stream, "b0")
+    some_key = t.read().select("conv_id").first()["conv_id"]
+    # spy: the lookup must prune the scan to exactly one bucket
+    seen = {}
+    orig_read = t.read
+
+    def spy(buckets=None, **kw):
+        if buckets is not None:
+            seen["buckets"] = buckets
+        return orig_read(buckets=buckets, **kw)
+
+    t.read = spy
+    try:
+        got = t.read_key(some_key, extra_filter=F.col("turn_idx") >= 0).collect()
+    finally:
+        t.read = orig_read
+    assert len(seen["buckets"]) == 1
+    expect = t.read().filter(F.col("conv_id") == some_key).collect()
+    assert sorted(r["turn_idx"] for r in got) == sorted(r["turn_idx"] for r in expect)
+
+
+def test_gc_dead_letters_expires_old_captures(spark, tmp_path):
+    from cityofphiladelphia_databridge_etl_tools_spark.sources.sinks import dead_letter
+
+    t = make_table(spark, tmp_path)
+    bad = changegen.changes(spark, 50, seed=63).withColumn("_error", F.lit("x"))
+    dead_letter(bad, t.store.root)
+    assert t.gc_dead_letters(dry_run=True) == []  # younger than retention
+    removed = t.gc_dead_letters(older_than_s=0)
+    assert removed
+    import os
+    assert not os.path.exists(os.path.join(t.store.root, "_errors")) or not os.listdir(
+        os.path.join(t.store.root, "_errors")
+    )
 
 
 def test_lineage_dataframe(spark, tmp_path):
