@@ -174,3 +174,69 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
             F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("j") - 1).cast("long")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: (node, cluster_id) where
+    cluster_id = the minimum id reachable in the undirected pair graph
+    — the step every real dedup pipeline needs between "pairs found"
+    and "keep one document per group".
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter)
+    rounds (near-dup clusters are shallow — a handful of rounds in
+    practice; ``max_iters`` is a safety bound, and the loop exits early
+    on fixpoint via a per-round changed-count). Each round is one join
+    + one groupBy — all Catalyst; ``localCheckpoint`` truncates the
+    growing lineage so round N doesn't replan rounds 1..N-1. For
+    graphs with giant components at extreme scale, swap in the
+    large-star/small-star variant (same primitive, fewer rounds).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
+
+
+def keep_cluster_representatives(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop near-duplicates: keep each cluster's representative (the
+    min-id member) plus every unclustered document. One left join."""
+    return (
+        docs.join(clusters, docs[id_col] == clusters["id"], "left")
+        .filter(F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id")))
+        .drop("id", "cluster_id")
+    )

@@ -105,6 +105,23 @@ def doc_fingerprint(spark, sf_dir):
 
 
 # -------------------------------------------------------------- multimodal
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH verified pairs → connected
+    components (min-label propagation) → per-doc cluster id + the
+    keep/drop decision. The step between "pairs found" and "one
+    document survives per group" that real dedup pipelines run."""
+    sh = D.doc_shingles(_docs(spark, sf_dir))
+    sig = D.minhash_signatures(sh, n_bands=4, rows_per_band=2)
+    cand = D.lsh_candidate_pairs(sig)
+    pairs = D.jaccard_pairs(sh, pairs=cand).filter(F.col("jaccard") >= 0.3)
+    cc = D.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
 def mm_extract_meta(spark, sf_dir):
     """Binary-column metadata extraction via Arrow-batched mapInPandas —
     the multimodal plumbing op (library-backed codecs are stubbed; see
@@ -142,31 +159,9 @@ _JACCARD_TAIL = """
   )
 """
 
-DATA_REGISTRY = {
-    "dedup_exact": (
-        dedup_exact,
-        """
-        SELECT md5(text) AS content_hash,
-               CAST(min(doc_id) AS BIGINT) AS keep_id,
-               CAST(count(*) AS BIGINT) AS n_copies
-        FROM documents GROUP BY md5(text)
-        """,
-    ),
-    "dedup_ngram_jaccard": (
-        dedup_ngram_jaccard,
-        f"""
-        WITH {_SH_SQL}, {_JACCARD_TAIL}
-        SELECT c.id_a, c.id_b,
-               round(c.n_common / (sa.sz + sb.sz - c.n_common), 4) AS jaccard
-        FROM common c
-        JOIN sizes sa ON sa.id = c.id_a
-        JOIN sizes sb ON sb.id = c.id_b
-        WHERE round(c.n_common / (sa.sz + sb.sz - c.n_common), 4) >= 0.3
-        """,
-    ),
-    "dedup_minhash_lsh": (
-        dedup_minhash_lsh,
-        f"""
+# the full MinHash-LSH verified-pairs pipeline as SQL — shared by the
+# pairs gate (dedup_minhash_lsh) and the clustering gate (dedup_clusters)
+_MINHASH_PAIRS_SQL = f"""
         WITH {_SH_SQL},
         mh AS (
           SELECT id, br.band, br.row,
@@ -194,8 +189,31 @@ DATA_REGISTRY = {
         JOIN sizes sa ON sa.id = c.id_a
         JOIN sizes sb ON sb.id = c.id_b
         WHERE round(c.n_common / (sa.sz + sb.sz - c.n_common), 4) >= 0.3
+"""
+
+DATA_REGISTRY = {
+    "dedup_exact": (
+        dedup_exact,
+        """
+        SELECT md5(text) AS content_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
         """,
     ),
+    "dedup_ngram_jaccard": (
+        dedup_ngram_jaccard,
+        f"""
+        WITH {_SH_SQL}, {_JACCARD_TAIL}
+        SELECT c.id_a, c.id_b,
+               round(c.n_common / (sa.sz + sb.sz - c.n_common), 4) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.id = c.id_a
+        JOIN sizes sb ON sb.id = c.id_b
+        WHERE round(c.n_common / (sa.sz + sb.sz - c.n_common), 4) >= 0.3
+        """,
+    ),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),  # filled below (shared SQL)
     "dedup_simhash": (
         dedup_simhash,
         """
@@ -427,3 +445,24 @@ FROM p GROUP BY 1, 2
 """.format(**_LANG_SQL_SCORES)
 
 DATA_REGISTRY["text_lang_id"] = (text_lang_id, _LANG_ID_SQL)
+DATA_REGISTRY["dedup_minhash_lsh"] = (dedup_minhash_lsh, _MINHASH_PAIRS_SQL)
+DATA_REGISTRY["dedup_clusters"] = (
+    dedup_clusters,
+    f"""
+    WITH RECURSIVE pairs AS (
+      {_MINHASH_PAIRS_SQL}
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.b, r.label FROM e JOIN reach r ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           node = cluster_id AS is_representative
+    FROM cc
+    """,
+)

@@ -199,6 +199,27 @@ def test_exact_dedup_keeps_min_id(spark):
     assert out == {1: 2, 3: 1}
 
 
+def test_connected_components_chain_and_representatives(spark):
+    """A 5-node chain (needs multiple propagation rounds), a 2-node
+    pair, and a singleton-free graph: labels converge to the component
+    min; representatives keep one doc per cluster plus unclustered."""
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.dedup import (
+        connected_components, keep_cluster_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+                                 "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  keep_cluster_representatives(docs, connected_components(pairs)).collect())
+    assert kept == [1, 10, 99]  # one per cluster + the unclustered doc
+
+
 def test_simhash_similar_docs_close(spark):
     docs = spark.createDataFrame(
         [
