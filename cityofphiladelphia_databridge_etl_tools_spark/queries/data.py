@@ -85,6 +85,18 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------- text ops
+def ann_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane
+    LSH candidates → exact cosine filter (the embedding analogue of
+    MinHash-LSH; high-cosine pairs collide in some table w.h.p.)."""
+    # the synthetic embeddings are near-orthogonal (max pairwise
+    # cosine ~0.48), so the gate threshold is data-fit; production
+    # near-dup runs use the operator default (0.95)
+    return S.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=6, n_tables=4
+    )
+
+
 def text_token_count(spark, sf_dir):
     return TX.token_count(_docs(spark, sf_dir))
 
@@ -446,6 +458,48 @@ FROM p GROUP BY 1, 2
 
 DATA_REGISTRY["text_lang_id"] = (text_lang_id, _LANG_ID_SQL)
 DATA_REGISTRY["dedup_minhash_lsh"] = (dedup_minhash_lsh, _MINHASH_PAIRS_SQL)
+DATA_REGISTRY["ann_neardup_pairs"] = (
+    ann_neardup_pairs,
+    """
+    WITH d AS (
+      SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    ),
+    tp AS (
+      SELECT t.t AS tbl, p.p AS p
+      FROM (SELECT unnest(generate_series(0, 3)) AS t) t,
+           (SELECT unnest(generate_series(0, 5)) AS p) p
+    ),
+    s AS (
+      SELECT vec_id, tbl, p,
+             sum(val * CASE WHEN strpos('0123456789abcdef',
+                    substr(md5(concat_ws('_',
+                      CASE WHEN tbl = 0 THEN CAST(p AS VARCHAR)
+                           ELSE 't' || tbl || 'p' || p END,
+                      i - 1)), 1, 1)) - 1 >= 8
+                  THEN 1.0 ELSE -1.0 END) AS s
+      FROM d, tp GROUP BY vec_id, tbl, p
+    ),
+    b AS (
+      SELECT vec_id, tbl,
+             CAST(sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS INT) AS bucket
+      FROM s GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+      WHERE x.vec_id < y.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+)
 DATA_REGISTRY["dedup_clusters"] = (
     dedup_clusters,
     f"""
