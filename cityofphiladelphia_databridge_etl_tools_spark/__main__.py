@@ -54,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--generate", type=int, required=True, help="number of events")
     r.add_argument("--events-per-batch", type=int, default=1_000_000)
     r.add_argument("--seed", type=int, default=42)
+    r.add_argument("--pipeline-depth", type=int, default=1,
+                   help="merge N windows concurrently (MOR only; ~2x at 32 cores)")
 
     s = sub.add_parser("stream", help="tail a directory of change files")
     s.add_argument("--root", required=True)
@@ -125,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             lambda lo, hi: changegen.changes(spark, hi - lo, seed=args.seed, lsn_start=lo),
             events_per_batch=args.events_per_batch,
         )
-        recs = runner.run_until(args.generate)
+        recs = runner.run_until(args.generate, pipeline_depth=args.pipeline_depth)
         print(f"applied {len(recs)} windows; resume_lsn={runner.resume_lsn()}; "
               f"rows={t.read().count()}")
     elif args.cmd == "stream":

@@ -299,6 +299,45 @@ def test_mor_lost_race_rebases_automatically(spark, tmp_path):
     assert_df_equal(t.read(), changegen.expected_final_state(stream))
 
 
+def test_schema_evolving_batch_does_not_rebase_on_race(spark, tmp_path):
+    """A batch that evolves the schema must NOT auto-rebase after a
+    lost commit race (its schema version number was assigned against
+    the old manifest) — it raises for a clean replay, and the replay
+    against fresh state succeeds."""
+    from cityofphiladelphia_databridge_etl_tools_spark.lake import ConcurrentCommitError
+
+    t = make_table(spark, tmp_path)
+    other = LakeTable(spark, t.store.root)
+    stream = changegen.changes(spark, 600, seed=81)
+    t.merge_batch(stream.filter(F.col("lsn") < 200), "b0")
+
+    evolving = stream.filter(F.col("lsn") >= 400).withColumn("extra", F.lit("x"))
+    real = t.store.commit_delta
+    fired = {"n": 0}
+
+    def racy(parent, delta):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            other.merge_batch(
+                stream.filter((F.col("lsn") >= 200) & (F.col("lsn") < 400)), "race"
+            )
+        return real(parent, delta)
+
+    t.store.commit_delta = racy
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            t.merge_batch(evolving, "b-evolve")
+    finally:
+        t.store.commit_delta = real
+    # replay against the fresh manifest converges, schema evolves once
+    assert t.merge_batch(evolving, "b-evolve") is not None
+    assert "extra" in t.read().columns
+    full = stream.withColumn(
+        "extra", F.when(F.col("lsn") >= 400, "x").otherwise(F.lit(None))
+    )
+    assert_df_equal(t.read(), changegen.expected_final_state(full))
+
+
 def test_stale_hint_is_recovered_from_log(spark, tmp_path):
     """CURRENT is advisory: a reader whose hint lags (torn commit)
     still sees every committed batch, and replaying one is a no-op —

@@ -220,6 +220,43 @@ def test_connected_components_chain_and_representatives(spark):
     assert kept == [1, 10, 99]  # one per cluster + the unclustered doc
 
 
+def test_connected_components_matches_union_find(spark):
+    """Randomized graphs vs an independent driver-side union-find."""
+    import random
+
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {n: find(n) for n in parent}
+
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == expect, (seed, got, expect)
+
+
 def test_simhash_similar_docs_close(spark):
     docs = spark.createDataFrame(
         [
