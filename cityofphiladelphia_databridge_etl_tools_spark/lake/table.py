@@ -75,6 +75,17 @@ def _json_safe(v):
     return v if isinstance(v, (int, float, str, type(None))) else None
 
 
+def _as_lsn(v) -> int:
+    """Watermark metric → long. Non-integer order columns (e.g. a
+    table ordered purely by timestamp) degrade gracefully: watermarks
+    and manifest-level lsn file skipping stay disabled (-1/None)
+    instead of crashing after the data files are already written."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return -1
+
+
 class LakeTable:
     """One lake table = directory + commit log. Multi-writer safe via
     CAS on the log position (losers reload and retry)."""
@@ -347,9 +358,10 @@ class LakeTable:
                 return self._commit_empty(m, batch_id, schema_added)
 
         in_metrics, out_metrics = obs_in.get, obs_out.get
-        # all-null order columns are legal — watermarks just don't move
-        lsn_lo = int(in_metrics["lsn_lo"]) if in_metrics["lsn_lo"] is not None else -1
-        lsn_hi = int(in_metrics["lsn_hi"]) if in_metrics["lsn_hi"] is not None else -1
+        # all-null / non-integer order columns are legal — watermarks
+        # just don't move
+        lsn_lo = _as_lsn(in_metrics["lsn_lo"])
+        lsn_hi = _as_lsn(in_metrics["lsn_hi"])
         rec = CommitRecord(
             batch_id=batch_id,
             lsn_lo=lsn_lo,
@@ -565,8 +577,8 @@ class LakeTable:
         snap_rel = f"data/refresh-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
         new_files, bucket_rows = self._write_snapshot(staged, snap_rel, current_version, BASE, m)
         met = obs.get
-        lsn_lo = int(met["lsn_lo"]) if met["lsn_lo"] is not None else -1
-        lsn_hi = int(met["lsn_hi"]) if met["lsn_hi"] is not None else -1
+        lsn_lo = _as_lsn(met["lsn_lo"])
+        lsn_hi = _as_lsn(met["lsn_hi"])
         rec = CommitRecord(
             batch_id=batch_id,
             lsn_lo=lsn_lo, lsn_hi=lsn_hi,

@@ -299,6 +299,32 @@ def test_mor_lost_race_rebases_automatically(spark, tmp_path):
     assert_df_equal(t.read(), changegen.expected_final_state(stream))
 
 
+def test_timestamp_only_order_columns(spark, tmp_path):
+    """A table ordered purely by timestamp (no integer LSN) merges and
+    reads correctly; watermarks/file-skipping degrade gracefully to
+    disabled instead of crashing on int() of a datetime."""
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         key_columns=["k"], order_columns=["ts"], n_buckets=2)
+    mk = "k string, v string, ts string, op string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, mk).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    rec = t.merge_batch(df([("a", "v1", "2024-01-01 10:00:00", "I"),
+                            ("b", "v1", "2024-01-01 10:00:00", "I")]), "b1")
+    assert rec is not None and rec.lsn_hi == -1  # no integer watermark
+    t.merge_batch(df([("a", "v2", "2024-01-02 10:00:00", "U"),
+                      ("b", None, "2024-01-02 11:00:00", "D")]), "b2")
+    out = {r["k"]: r["v"] for r in t.read().collect()}
+    assert out == {"a": "v2"}
+    assert t.manifest.watermarks == {}
+
+
 def test_schema_evolving_batch_does_not_rebase_on_race(spark, tmp_path):
     """A batch that evolves the schema must NOT auto-rebase after a
     lost commit race (its schema version number was assigned against

@@ -66,6 +66,30 @@ def test_mor_merge_is_single_exchange(spark, tmp_path):
     assert count_exchanges(winners) == 1, formatted_plan(winners)
 
 
+def test_declarative_queries_have_no_python_in_plan(spark, sf_dir):
+    """Blanket 100-TB hygiene: every declarative gate query plans to
+    pure JVM operators — no row-at-a-time Python UDF, no Arrow eval
+    nodes. (The only sanctioned Python is batch-columnar mapInPandas
+    in the enrich/multimodal operators, excluded here by design.)"""
+    python_ok = {
+        "t_batch_enrich", "mm_extract_meta", "mm_decode_wav",  # mapInPandas by design
+    }
+    engineful = {  # building these RUNS merges/streams; plan-audited elsewhere
+        "cdc_replay_merge", "cdc_schema_evolution", "cdc_full_refresh",
+        "cdc_compacted_state", "k_dead_letter", "stream_hourly_counts",
+        "stream_session_counts", "s_csv_fallback", "s_paged_rest",
+        "dedup_clusters", "t_surrogate_key",
+    }
+    offenders = []
+    for name, (fn, _sql) in REGISTRY.items():
+        if name in python_ok or name in engineful:
+            continue
+        plan = formatted_plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "PythonUDF" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
+
+
 def test_add_objectid_has_no_single_partition_exchange(spark, sf_dir):
     """Surrogate-id assignment must not funnel the table through one
     reducer: ids come from per-partition row_number + broadcast
