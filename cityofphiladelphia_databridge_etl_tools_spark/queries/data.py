@@ -520,3 +520,83 @@ DATA_REGISTRY["dedup_clusters"] = (
     FROM cc
     """,
 )
+
+
+def pipeline_training_corpus(spark, sf_dir):
+    """The operators COMPOSED as a real training-data prep pipeline:
+    near-dup clustering (MinHash-LSH pairs → connected components →
+    one representative per cluster) → quality scoring → language ID →
+    corpus filter (quality >= 0.2, identified language). Exactly the
+    shape a 100-TB pretraining cleanup runs; every stage is the
+    already-oracled operator, and the composition has its own
+    end-to-end SQL oracle."""
+    docs = _docs(spark, sf_dir)
+    sh = D.doc_shingles(docs)
+    sig = D.minhash_signatures(sh, n_bands=4, rows_per_band=2)
+    pairs = D.jaccard_pairs(sh, pairs=D.lsh_candidate_pairs(sig)).filter(
+        F.col("jaccard") >= 0.3
+    )
+    reps = D.keep_cluster_representatives(docs, D.connected_components(pairs))
+    q = TX.quality_score(reps)
+    lang = TX.lang_id(reps).select("doc_id", "predicted_lang")
+    return (
+        q.join(lang, "doc_id")
+        .filter((F.col("quality_score") >= 0.2) & (F.col("predicted_lang") != "und"))
+        .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
+    )
+
+
+_CORPUS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+      {_MINHASH_PAIRS_SQL}
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.b, r.label FROM e JOIN reach r ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    reps AS (
+      SELECT * FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+    ),
+    f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             {{stop_sum}} AS stop_hits
+      FROM reps
+    ),
+    q AS (
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             round(CASE WHEN n_tokens < 5 THEN 0.0
+                   ELSE least(1.0, n_tokens / 100.0) * (1.0 - round(stop_hits / n_tokens, 4)) END, 4) AS quality_score
+      FROM f
+    ),
+    ls AS (
+      SELECT doc_id, {{en}} AS s_en, {{de}} AS s_de, {{fr}} AS s_fr, {{es}} AS s_es
+      FROM reps
+    ),
+    l AS (
+      SELECT doc_id,
+        CASE
+          WHEN s_es > greatest(s_en, s_de, s_fr, 0) THEN 'es'
+          WHEN s_fr > greatest(s_en, s_de, 0) THEN 'fr'
+          WHEN s_de > greatest(s_en, 0) THEN 'de'
+          WHEN s_en > 0 THEN 'en'
+          ELSE 'und' END AS predicted_lang
+      FROM ls
+    )
+    SELECT q.doc_id, q.n_tokens, q.quality_score, l.predicted_lang
+    FROM q JOIN l ON q.doc_id = l.doc_id
+    WHERE q.quality_score >= 0.2 AND l.predicted_lang <> 'und'
+""".format(
+    stop_sum=" + ".join(
+        "CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ' '))) / length('{w} ') AS INT)".format(w=w)
+        for w in TX.STOPWORDS
+    ),
+    **_LANG_SQL_SCORES,
+)
+
+DATA_REGISTRY["pipeline_training_corpus"] = (pipeline_training_corpus, _CORPUS_SQL)
