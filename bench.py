@@ -189,14 +189,13 @@ def main_default():
     spark = make_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     sf = _sf_of(SF_DIR)
-    # two measured sequential runs (after the built-in warmup) plus a
+    # one measured sequential run (after the built-in warmup) plus a
     # pipelined run (depth 4, the engine's real ingestion mode);
     # report the best — single-run numbers vary ±50% on a shared box
     a = run_ingest(spark, events_for(sf))
-    b = run_ingest(spark, events_for(sf), warmup=False)
     p = run_ingest(spark, events_for(sf), warmup=False, pipeline_depth=4)
     p["pipeline_depth"] = 4
-    ingest = max((a, b, p), key=lambda r: r["events_per_sec"])
+    ingest = max((a, p), key=lambda r: r["events_per_sec"])
 
     qtimes = {}
     for name in BENCH_QUERIES:
@@ -216,7 +215,7 @@ def main_default():
         "queries": qtimes,
         "sf": sf,
         "detail": ingest,
-        "sequential_events_per_sec": max(a["events_per_sec"], b["events_per_sec"]),
+        "sequential_events_per_sec": a["events_per_sec"],
         "pipelined_events_per_sec": p["events_per_sec"],
         "cpus": CPUS,
     }

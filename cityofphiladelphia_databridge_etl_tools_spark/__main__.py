@@ -70,6 +70,8 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--below-lsn", type=int, default=None,
                    help="only GC tombstones below this lsn (late-arrival horizon)")
     k.add_argument("--force", action="store_true")
+    k.add_argument("--sort-by", default=None,
+                   help="comma-separated columns to re-sort files by (range-scan layout)")
 
     g = sub.add_parser("gc", help="remove orphaned data files (crash/race leftovers)")
     g.add_argument("--root", required=True)
@@ -145,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
             gc_tombstones=args.gc_tombstones,
             gc_tombstones_below_lsn=args.below_lsn,
             force=args.force,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
         )
         print("compacted")
     elif args.cmd == "gc":

@@ -481,6 +481,7 @@ class LakeTable:
         m: Manifest,
         n_salt: int = 4,
         pre_clustered: bool = False,
+        sort_by: list[str] | None = None,
     ) -> tuple[dict[str, list], dict[str, int]]:
         """Write rows (must carry _bucket) as per-bucket parquet under
         snap_rel, then collect per-file stats (row count, order-column
@@ -504,7 +505,7 @@ class LakeTable:
                 df.withColumn("_salt", salt_expr(n_salt, *keys))
                 .repartition(F.col("_bucket"), F.col("_salt"))
                 .drop("_salt")
-                .sortWithinPartitions("_bucket", *keys)
+                .sortWithinPartitions("_bucket", *(sort_by or keys))
             )
         out.write.partitionBy("_bucket").parquet(snap_dir, mode="errorifexists")
 
@@ -779,6 +780,7 @@ class LakeTable:
         gc_tombstones_below_lsn: int | None = None,
         force: bool = False,
         max_commit_retries: int = 3,
+        sort_by: list[str] | None = None,
     ) -> None:
         """Fold deltas into fresh base files for the given buckets (all
         by default) — the engine's VACUUM analogue (ref:
@@ -792,7 +794,14 @@ class LakeTable:
         tombstones at or above it are kept), or bare for
         full-GC when no late events or lagging consumers exist. If
         consumers registered cursors (register_cursor), GC that would
-        outrun the slowest cursor raises unless ``force=True``."""
+        outrun the slowest cursor raises unless ``force=True``.
+
+        ``sort_by`` re-sorts rows within each rewritten file (default:
+        the merge keys) — compaction doubling as layout optimization:
+        sort by a range-scanned column (e.g. ts) and parquet min/max
+        row-group stats prune range queries, the Z-ORDER-lite
+        equivalent for a single dimension. Read correctness is
+        unaffected (LWW resolution never depends on file order)."""
         for _attempt in range(max_commit_retries):
             m = self.manifest
             targets = sorted(buckets) if buckets is not None else sorted(
@@ -827,7 +836,9 @@ class LakeTable:
             df = df.withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
             snap_rel = f"data/compact-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
             current_version = m.schema_versions[-1].version
-            new_files, _ = self._write_snapshot(df, snap_rel, current_version, BASE, m)
+            new_files, _ = self._write_snapshot(
+                df, snap_rel, current_version, BASE, m, sort_by=sort_by
+            )
             delta = LogDelta(
                 version=m.version + 1,
                 bucket_replaces={str(b): new_files.get(str(b), []) for b in targets},

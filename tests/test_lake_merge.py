@@ -227,6 +227,33 @@ def test_compact_preserves_state(spark, tmp_path):
     assert t.read(include_deleted=True).filter(F.col("_deleted")).count() == 0
 
 
+def test_compact_sort_by_reorders_files_for_range_scans(spark, tmp_path):
+    """compact(sort_by=['ts']) re-sorts rows within each rewritten
+    file so parquet min/max stats prune ts-range scans — state is
+    unchanged (LWW never depends on file order)."""
+    t = make_table(spark, tmp_path, n_buckets=2)
+    full = changegen.changes(spark, 1000, seed=82)
+    t.merge_batch(full, "b0")
+    before = t.read()
+    t.compact(sort_by=["ts"])
+    assert_df_equal(t.read(), before)
+    # within every file, ts is non-decreasing
+    got = t.read(include_deleted=True)
+    from pyspark.sql import Window
+    chk = (
+        t.spark.read.parquet(*[
+            f"{t.store.root}/{e[0]}"
+            for entries in t.manifest.bucket_files.values() for e in entries
+        ])
+        .select(F.input_file_name().alias("f"), "ts")
+        .withColumn("prev", F.lag("ts").over(
+            Window.partitionBy("f").orderBy(F.monotonically_increasing_id())))
+        .filter(F.col("prev").isNotNull() & (F.col("ts") < F.col("prev")))
+    )
+    assert chk.count() == 0
+    assert got.count() >= before.count()
+
+
 def test_extract_upsert_roundtrip_invariance(spark, tmp_path):
     """The reference's key invariance test (tests/test_postgres.py:83-86):
     extract the table, upsert the extract back into itself, re-extract
