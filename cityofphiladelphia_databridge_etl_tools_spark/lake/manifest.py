@@ -158,6 +158,9 @@ class LogDelta:
     replace_watermarks: bool = False
     cursor_updates: dict[str, int] = field(default_factory=dict)
     tombstone_gc_lsn: int | None = None
+    # rebucketing: the key→bucket function changes, so the delta must
+    # carry the new modulus alongside the full bucket_replaces
+    new_n_buckets: int | None = None
     # legacy full-state commit (create(), MetaStore.commit(manifest))
     full_state: dict | None = None
 
@@ -195,6 +198,9 @@ def apply_delta(parent: Manifest | None, delta: LogDelta, commit_retention: int)
         bucket_files[b] = list(entries)
     for b, entries in delta.bucket_appends.items():
         bucket_files.setdefault(b, []).extend(entries)
+    # buckets emptied by a replace (overwrite/rebucket) drop out of the
+    # index entirely rather than lingering as dead keys
+    bucket_files = {b: v for b, v in bucket_files.items() if v}
     if delta.replace_watermarks:
         watermarks = dict(delta.watermark_updates)
     else:
@@ -206,7 +212,7 @@ def apply_delta(parent: Manifest | None, delta: LogDelta, commit_retention: int)
     cursors.update(delta.cursor_updates)
     return Manifest(
         version=delta.version,
-        n_buckets=parent.n_buckets,
+        n_buckets=delta.new_n_buckets or parent.n_buckets,
         key_columns=parent.key_columns,
         order_columns=parent.order_columns,
         schema_versions=parent.schema_versions + delta.schema_versions_added,

@@ -668,6 +668,41 @@ class LakeTable:
                     out.setdefault(e[1], []).append(os.path.join(self.store.root, e[0]))
         return out
 
+    def rebucket(self, n_buckets: int) -> None:
+        """Change the bucket count — the sizing correction a table
+        needs after growing 1000x (or shrinking): full rewrite under
+        the new key→bucket function, committed as one snapshot flip.
+        Offline O(table) maintenance, like Iceberg's rewrite with a new
+        partition spec; tombstones, cursors, schema history, and the
+        GC horizon all carry over. Per-bucket watermarks collapse to
+        the global max (a safe upper bound — exactly-once replay uses
+        batch ids, not watermarks)."""
+        m = self.manifest
+        if n_buckets == m.n_buckets:
+            return
+        df = self.read(include_deleted=True, manifest=m).withColumn(
+            "_bucket", bucket_expr(m.key_columns[0], n_buckets)
+        )
+        snap_rel = f"data/rebucket-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
+        new_files, _ = self._write_snapshot(
+            df, snap_rel, m.schema_versions[-1].version, BASE, m
+        )
+        replaces = {b: [] for b in m.bucket_files}
+        replaces.update(new_files)
+        global_wm = max([-1] + [int(w) for w in m.watermarks.values()])
+        self.store.commit_delta(
+            m,
+            LogDelta(
+                version=m.version + 1,
+                bucket_replaces=replaces,
+                new_n_buckets=n_buckets,
+                replace_watermarks=True,
+                watermark_updates=(
+                    {b: global_wm for b in new_files} if global_wm >= 0 else {}
+                ),
+            ),
+        )
+
     def read_key(self, key_value, extra_filter=None) -> DataFrame:
         """Point lookup by the bucketing key: manifest-pruned to the
         ONE bucket the key hashes to, then filtered (parquet min/max

@@ -227,6 +227,33 @@ def test_compact_preserves_state(spark, tmp_path):
     assert t.read(include_deleted=True).filter(F.col("_deleted")).count() == 0
 
 
+def test_rebucket_resizes_and_stays_consistent(spark, tmp_path):
+    """Growing a table 1000x means the create-time bucket count is
+    wrong: rebucket() rewrites under a new key→bucket function; state,
+    pruned reads, the change feed, and subsequent merges all keep
+    working against the new layout."""
+    t = make_table(spark, tmp_path, n_buckets=2)
+    stream = changegen.changes(spark, 1500, seed=83)
+    t.merge_batch(stream.filter(F.col("lsn") < 1000), "b0")
+    before = t.read()
+
+    t.rebucket(8)
+    m = t.manifest
+    assert m.n_buckets == 8
+    assert len(m.bucket_files) > 2  # data really spread over new buckets
+    assert_df_equal(t.read(), before)
+    # pruned point lookup works against the new bucket function
+    k = before.select("conv_id").first()["conv_id"]
+    assert t.read_key(k).count() == before.filter(F.col("conv_id") == k).count()
+    # merging continues against the new layout, exactly-once intact
+    t.merge_batch(stream.filter(F.col("lsn") >= 1000), "b1")
+    assert t.merge_batch(stream.filter(F.col("lsn") >= 1000), "b1") is None
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+    # change feed past the rebucket still serves (rebucketed base files
+    # carry order-column ranges from the distributed stats pass)
+    assert t.changes_since(999).count() > 0
+
+
 def test_compact_sort_by_reorders_files_for_range_scans(spark, tmp_path):
     """compact(sort_by=['ts']) re-sorts rows within each rewritten
     file so parquet min/max stats prune ts-range scans — state is
