@@ -83,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--root", required=True)
     x.add_argument("--keep-snapshots", type=int, default=2)
 
+    rb = sub.add_parser("rebucket", help="rewrite the table under a new bucket count")
+    rb.add_argument("--root", required=True)
+    rb.add_argument("--n-buckets", type=int, required=True)
+
     u = sub.add_parser("cursor", help="register a change-feed consumer's progress")
     u.add_argument("--root", required=True)
     u.add_argument("--name", required=True)
@@ -161,6 +165,10 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable(spark, args.root)
         removed = t.store.expire_log(keep_snapshots=args.keep_snapshots)
         print(f"expired {len(removed)} metadata records")
+    elif args.cmd == "rebucket":
+        t = LakeTable(spark, args.root)
+        t.rebucket(args.n_buckets)
+        print(f"rebucketed to {args.n_buckets}")
     elif args.cmd == "cursor":
         t = LakeTable(spark, args.root)
         t.register_cursor(args.name, args.lsn)
