@@ -97,3 +97,36 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col),
         F.substring(F.md5(norm), 1, 16).alias("fp"),
     )
+
+
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, alternation — no
+# backreferences or lookaround, so both engines redact identically.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", kinds: list[str] | None = None
+) -> DataFrame:
+    """Pretraining-corpus PII scrub: emails, phone numbers, and IPv4
+    addresses become ``<KIND>`` placeholders, with per-kind hit counts
+    for audit (the counts are computed BEFORE redaction from the same
+    pattern, so count==0 iff the text is untouched for that kind).
+    Vectorized regexp_replace — JVM codegen, no UDF; order of
+    application is the dict order (email first, so phone/ip patterns
+    never see address-like digit runs inside emails)."""
+    t = F.col(text_col)
+    out = docs
+    for kind in kinds or list(PII_PATTERNS):
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        )
+    redacted = t
+    for kind in kinds or list(PII_PATTERNS):
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out.withColumn(text_col, redacted)

@@ -112,6 +112,28 @@ def text_lang_id(spark, sf_dir):
     )
 
 
+def text_redact_pii(spark, sf_dir):
+    """Pretraining PII scrub over text deliberately salted with a
+    deterministic email, phone, and IPv4 per document: placeholders
+    substituted, per-kind hit counts kept for audit."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 215-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+        ).alias("text"),
+    )
+    out = TX.redact_pii(d)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.length("text").alias("clean_len"),
+        F.substring("text", -40, 40).alias("tail"),
+    )
+
+
 def doc_fingerprint(spark, sf_dir):
     return TX.fingerprint(_docs(spark, sf_dir))
 
@@ -600,3 +622,39 @@ _CORPUS_SQL = f"""
 )
 
 DATA_REGISTRY["pipeline_training_corpus"] = (pipeline_training_corpus, _CORPUS_SQL)
+
+# PII patterns are syntax shared by Java regex and RE2, so the oracle
+# uses the very same strings (DuckDB needs the explicit 'g' flag —
+# Spark's regexp_replace is global by default)
+_PII_EMAIL, _PII_PHONE, _PII_IP = (
+    TX.PII_PATTERNS["email"], TX.PII_PATTERNS["phone"], TX.PII_PATTERNS["ipv4"]
+)
+DATA_REGISTRY["text_redact_pii"] = (
+    text_redact_pii,
+    f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com tel 215-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phone,
+             CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ipv4,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IPV4>', 'g') AS text
+      FROM salted
+    )
+    SELECT doc_id, n_email, n_phone, n_ipv4,
+           CAST(length(text) AS INT) AS clean_len,
+           substr(text, length(text) - 39, 40) AS tail
+    FROM red
+    """,
+)

@@ -199,6 +199,24 @@ def test_exact_dedup_keeps_min_id(spark):
     assert out == {1: 2, 3: 1}
 
 
+def test_redact_pii(spark):
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.org or x@y.io thanks"),
+        (2, "call (215) 555-0100 or 610.555.0199 today"),
+        (3, "server 192.168.1.250 and 10.0.0.1 are down"),
+        (4, "nothing sensitive here"),
+    ]
+    out = {r["doc_id"]: r for r in redact_pii(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["text"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[2]["n_phone"] == 2 and out[2]["text"] == "call <PHONE> or <PHONE> today"
+    assert out[3]["n_ipv4"] == 2 and out[3]["text"] == "server <IPV4> and <IPV4> are down"
+    assert out[4]["text"] == rows[3][1]
+    assert all(out[4][f"n_{k}"] == 0 for k in ("email", "phone", "ipv4"))
+
+
 def test_connected_components_chain_and_representatives(spark):
     """A 5-node chain (needs multiple propagation rounds), a 2-node
     pair, and a singleton-free graph: labels converge to the component
