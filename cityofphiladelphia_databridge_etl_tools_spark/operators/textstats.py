@@ -130,3 +130,45 @@ def redact_pii(
     for kind in kinds or list(PII_PATTERNS):
         redacted = F.regexp_replace(redacted, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out.withColumn(text_col, redacted)
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features for corpus filtering: the
+    fraction of bigrams taken by the single most frequent bigram, and
+    the distinct-token ratio. Boilerplate / degenerate generations
+    score high top_bigram_frac and low distinct_token_ratio. Exact
+    integer counts → cross-engine-reproducible after one ROUND."""
+    t = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bigram = (
+        docs.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rep = per_bigram.groupBy("id").agg(
+        F.max("n").alias("top_n"), F.sum("n").alias("total_n")
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(t).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 4).alias("distinct_token_ratio"),
+    )
+    return (
+        base.join(rep, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "distinct_token_ratio",
+            F.round(
+                F.coalesce(F.col("top_n") / F.col("total_n"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -138,6 +138,20 @@ def doc_fingerprint(spark, sf_dir):
     return TX.fingerprint(_docs(spark, sf_dir))
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filter features: top-bigram fraction +
+    distinct-token ratio, with half the docs salted by a repeated
+    boilerplate phrase so both regimes appear."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" click here click here click here")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return TX.repetition_stats(d)
+
+
 # -------------------------------------------------------------- multimodal
 def dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: MinHash-LSH verified pairs → connected
@@ -628,6 +642,31 @@ DATA_REGISTRY["pipeline_training_corpus"] = (pipeline_training_corpus, _CORPUS_S
 # Spark's regexp_replace is global by default)
 _PII_EMAIL, _PII_PHONE, _PII_IP = (
     TX.PII_PATTERNS["email"], TX.PII_PATTERNS["phone"], TX.PII_PATTERNS["ipv4"]
+)
+DATA_REGISTRY["text_repetition"] = (
+    text_repetition,
+    """
+    WITH salted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN text || ' click here click here click here'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM salted),
+    bg AS (
+      SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS bg
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2
+    ),
+    per AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
+    rep AS (SELECT doc_id, max(n) AS top_n, sum(n) AS total_n FROM per GROUP BY doc_id)
+    SELECT k.doc_id,
+           CAST(len(k.t) AS INT) AS n_tokens,
+           round(len(list_distinct(k.t)) / len(k.t), 4) AS distinct_token_ratio,
+           round(coalesce(rep.top_n / rep.total_n, 0.0), 4) AS top_bigram_frac
+    FROM toks k LEFT JOIN rep ON rep.doc_id = k.doc_id
+    """,
 )
 DATA_REGISTRY["text_redact_pii"] = (
     text_redact_pii,
