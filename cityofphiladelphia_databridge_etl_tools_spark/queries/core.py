@@ -620,6 +620,31 @@ def asof_last_signup(spark, sf_dir):
     )
 
 
+def asof_join_orders(spark, sf_dir):
+    """TWO-TABLE as-of join (the custom operator Spark lacks): each
+    event gains the most recent order of the same customer at or
+    before the event time — union + running-last window, one shuffle,
+    no range-join blowup. Aggregated per event_type for the gate."""
+    from ..operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"), F.col("event_type"), F.col("event_id"), F.col("ts")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_totalprice", "o_orderkey"
+    )
+    joined = asof_join(
+        ev, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_totalprice", "o_orderkey"], tiebreak_cols=["o_orderkey"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey_asof").alias("n_with_order"),
+        F.sum(F.col("o_totalprice_asof").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.max("o_orderkey_asof").alias("max_orderkey"),
+    )
+
+
 def pivot_user_events(spark, sf_dir):
     """Pivot: per-user event-type count matrix (the wide-format export
     shape open-data consumers ask for)."""
@@ -1075,6 +1100,27 @@ CORE_REGISTRY = {
                CAST(max(n_events) AS BIGINT) AS max_session_events,
                CAST(sum(n_events) AS BIGINT) AS n_events
         FROM per GROUP BY user_id
+        """,
+    ),
+    "asof_join_orders": (
+        asof_join_orders,
+        """
+        WITH j AS (
+          SELECT e.event_type, x.o_totalprice, x.o_orderkey
+          FROM events e
+          LEFT JOIN LATERAL (
+            SELECT o_totalprice, o_orderkey
+            FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+            LIMIT 1
+          ) x ON true
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(o_orderkey) AS BIGINT) AS n_with_order,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+               CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+        FROM j GROUP BY event_type
         """,
     ),
     "asof_last_signup": (

@@ -199,6 +199,51 @@ def test_exact_dedup_keeps_min_id(spark):
     assert out == {1: 2, 3: 1}
 
 
+def test_asof_join_semantics(spark):
+    """Boundary visibility (right at ts == left ts matches), stale
+    carry-forward, no-match NULLs, same-ts tiebreak, and the
+    null-payload trap (a newer right row with a NULL payload must NOT
+    resurrect the older row's value)."""
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-05"), ("u1", "2024-01-10"), ("u2", "2024-01-05"),
+         ("u3", "2024-01-05")],
+        "k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-05", 100.0, 1),   # exactly at left ts → visible
+         ("u1", "2024-01-08", None, 2),    # newer but NULL price
+         ("u1", "2024-01-08", 300.0, 3),   # same-ts tiebreak: max rid wins...
+         ("u2", "2024-01-09", 50.0, 4)],   # after u2's event → no match
+        "k string, rts string, price double, rid long",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = {(r["k"], str(r["ts"])): r for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        payload_cols=["price", "rid"], tiebreak_cols=["rid"],
+    ).collect()}
+    a = out[("u1", "2024-01-05 00:00:00")]
+    assert a["rid_asof"] == 1 and a["price_asof"] == 100.0  # boundary visible
+    b = out[("u1", "2024-01-10 00:00:00")]
+    # max-rid row at 01-08 wins the tie; its price must not be
+    # resurrected from an older row even when NULL would have been
+    assert b["rid_asof"] == 3 and b["price_asof"] == 300.0
+    assert out[("u2", "2024-01-05 00:00:00")]["rid_asof"] is None
+    assert out[("u3", "2024-01-05 00:00:00")]["price_asof"] is None
+
+    # explicit null-payload-newest case: rid 5 newest with NULL price
+    right2 = right.unionByName(
+        spark.createDataFrame([("u1", "2024-01-09", None, 5)],
+                              "k string, rts string, price double, rid long")
+        .withColumn("rts", F.col("rts").cast("timestamp"))
+    )
+    c = {(r["k"], str(r["ts"])): r for r in asof_join(
+        left, right2, on="k", left_ts="ts", right_ts="rts",
+        payload_cols=["price", "rid"], tiebreak_cols=["rid"],
+    ).collect()}[("u1", "2024-01-10 00:00:00")]
+    assert c["rid_asof"] == 5 and c["price_asof"] is None  # no resurrection
+
+
 def test_redact_pii(spark):
     from cityofphiladelphia_databridge_etl_tools_spark.operators.textstats import redact_pii
 
