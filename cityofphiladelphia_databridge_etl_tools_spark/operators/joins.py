@@ -72,3 +72,42 @@ def asof_join(
         .drop("_side", "_asof_ts", "_asof_payload", "_asof_carried",
               *[f"_tb_{c}" for c in tiebreaks])
     )
+
+
+def range_join_point_in_interval(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 86_400,
+) -> DataFrame:
+    """Point-in-interval range join without the cartesian blowup
+    Catalyst plans for raw inequality joins: time is bucketed into
+    ``bin_seconds`` bins, each interval explodes onto the bins it
+    covers, the join becomes an EQUI-join on (keys, bin) — shuffle-
+    partitionable, AQE-skew-safe — and the exact containment filter
+    runs after. A point lands in exactly one bin, so no dedup is
+    needed; cost is O(intervals × bins-per-interval + points), not
+    O(points × intervals). Pick bin_seconds near the median interval
+    length (cost knob, not a correctness knob). Inclusive start,
+    exclusive end."""
+    keys = [on] if isinstance(on, str) else list(on)
+    p_bin = F.floor(F.unix_timestamp(F.col(point_ts)) / bin_seconds)
+    i_lo = F.floor(F.unix_timestamp(F.col(start_ts)) / bin_seconds)
+    # end is exclusive: a zero-length interval still covers its start bin
+    i_hi = F.floor(
+        (F.unix_timestamp(F.col(end_ts)) - F.lit(1)) / bin_seconds
+    )
+    binned_intervals = intervals.withColumn(
+        "_bin", F.explode(F.sequence(i_lo, F.greatest(i_lo, i_hi)))
+    )
+    binned_points = points.withColumn("_bin", p_bin)
+    return (
+        binned_points.join(binned_intervals, keys + ["_bin"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("_bin")
+    )

@@ -645,6 +645,55 @@ def asof_join_orders(spark, sf_dir):
     )
 
 
+def range_join_order_windows(spark, sf_dir):
+    """Binned point-in-interval range join (no cartesian blowup): each
+    event matched to the 30-day windows opened by the same customer's
+    orders; aggregated per event_type. Oracle is the plain inequality
+    join (fine at gate scale; the binned equi-join is the 100-TB
+    plan)."""
+    from ..operators.joins import range_join_point_in_interval
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "event_id", "ts")
+    win = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+            F.col("event_id").alias("window_id"),
+        )
+    )
+    j = range_join_point_in_interval(
+        ev, win, on="user_id", point_ts="ts", start_ts="w_start", end_ts="w_end",
+        bin_seconds=86_400,
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.countDistinct("window_id").alias("n_windows"),
+    )
+
+
+def agg_time_rollup(spark, sf_dir):
+    """Hypertable-style time rollup: one pass produces hourly, daily,
+    and grand-total aggregates via GROUPING SETS (the continuous-
+    aggregate shape, multi-granularity without re-scanning)."""
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("ev_rollup")
+    return spark.sql("""
+        SELECT date_trunc('hour', ts) AS hour_start,
+               date_trunc('day', ts) AS day_start,
+               CAST(grouping(date_trunc('hour', ts)) AS INT) AS g_hour,
+               CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM ev_rollup
+        GROUP BY GROUPING SETS ((date_trunc('hour', ts)),
+                                (date_trunc('day', ts)), ())
+    """)
+
+
 def pivot_user_events(spark, sf_dir):
     """Pivot: per-user event-type count matrix (the wide-format export
     shape open-data consumers ask for)."""
@@ -1100,6 +1149,36 @@ CORE_REGISTRY = {
                CAST(max(n_events) AS BIGINT) AS max_session_events,
                CAST(sum(n_events) AS BIGINT) AS n_events
         FROM per GROUP BY user_id
+        """,
+    ),
+    "range_join_order_windows": (
+        range_join_order_windows,
+        """
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT w.event_id) AS BIGINT) AS n_windows
+        FROM events e
+        JOIN (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'signup') w
+          ON w.user_id = e.user_id
+         AND e.ts >= w.ts
+         AND e.ts < w.ts + INTERVAL 3 DAY
+        GROUP BY e.event_type
+        """,
+    ),
+    "agg_time_rollup": (
+        agg_time_rollup,
+        """
+        SELECT date_trunc('hour', ts) AS hour_start,
+               date_trunc('day', ts) AS day_start,
+               CAST(grouping(date_trunc('hour', ts)) AS INT) AS g_hour,
+               CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('hour', ts)),
+                                (date_trunc('day', ts)), ())
         """,
     ),
     "asof_join_orders": (

@@ -244,6 +244,36 @@ def test_asof_join_semantics(spark):
     assert c["rid_asof"] == 5 and c["price_asof"] is None  # no resurrection
 
 
+def test_range_join_binned_is_equi_join(spark):
+    """Boundary semantics (inclusive start, exclusive end), intervals
+    straddling bin boundaries, zero-length intervals — and the plan
+    must be an EQUI-join (hash/sort-merge), never the nested-loop /
+    cartesian Catalyst uses for raw inequality joins."""
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.joins import (
+        range_join_point_in_interval,
+    )
+
+    pts = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1), ("k", "2024-01-03 12:00:00", 2),
+         ("k", "2024-01-05 00:00:00", 3), ("k", "2024-01-10 00:00:00", 4)],
+        "g string, ts string, pid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", "2024-01-05 00:00:00", 10),  # 4d, straddles bins
+         ("k", "2024-01-03 00:00:00", "2024-01-03 00:00:00", 20)],  # zero-length
+        "g string, s string, e string, wid int",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn("e", F.col("e").cast("timestamp"))
+    j = range_join_point_in_interval(pts, iv, on="g", point_ts="ts",
+                                     start_ts="s", end_ts="e", bin_seconds=86_400)
+    got = sorted((r["pid"], r["wid"]) for r in j.collect())
+    # pid1 at start (inclusive), pid2 inside; pid3 at end (exclusive) and
+    # pid4 outside drop; the zero-length interval matches nothing
+    assert got == [(1, 10), (2, 10)], got
+    from cityofphiladelphia_databridge_etl_tools_spark.plans import formatted_plan
+    plan = formatted_plan(j)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
 def test_redact_pii(spark):
     from cityofphiladelphia_databridge_etl_tools_spark.operators.textstats import redact_pii
 
