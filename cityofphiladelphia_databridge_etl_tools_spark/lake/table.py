@@ -211,6 +211,7 @@ class LakeTable:
         n_salt: int = 4,
         mode: str = "mor",
         compact_threshold: int = 16,
+        max_auto_compact_buckets: int = 4,
         on_bad_rows: str = "fail",
         max_commit_retries: int = 5,
     ) -> CommitRecord | None:
@@ -223,9 +224,11 @@ class LakeTable:
         Returns the CommitRecord, or None when ``batch_id`` was already
         committed (idempotent replay — ref db2/db2.py:596-655 SCN
         watermark semantics). mode="mor" appends LWW-deduped delta
-        files (O(batch) write) and compacts any bucket whose delta
-        count exceeds ``compact_threshold``; mode="cow" rewrites the
-        touched buckets fully.
+        files (O(batch) write) and auto-compacts buckets whose delta
+        count exceeds ``compact_threshold`` — amortized to the
+        ``max_auto_compact_buckets`` worst per trigger so wide ingest
+        never stalls behind an O(table) inline rewrite; mode="cow"
+        rewrites the touched buckets fully.
 
         Concurrency: on a lost commit race, MOR batches (whose file
         appends and watermark bumps commute under LWW) are rebased onto
@@ -410,14 +413,27 @@ class LakeTable:
                 f"batch {batch_id!r}: lost {max_commit_retries} commit races"
             )
         if mode == "mor":
-            over = [
-                int(b)
-                for b, entries in self.manifest.bucket_files.items()
-                if sum(1 for e in entries if e[2] == DELTA) > compact_threshold
-            ]
-            if over:
+            # inline auto-compaction is AMORTIZED: at most
+            # max_auto_compact_buckets (the worst offenders) fold per
+            # trigger, so when every bucket crosses the threshold in
+            # the same batch (steady-state wide ingest) the rewrite
+            # cost spreads over the next batches instead of stalling
+            # this one for an O(table) rewrite — the 20M-event soak
+            # showed unbounded inline compaction halving sustained
+            # throughput. Ingest-heavy deployments set
+            # compact_threshold=10**9 and schedule compact() off the
+            # critical path entirely.
+            over = sorted(
+                (
+                    (sum(1 for e in entries if e[2] == DELTA), int(b))
+                    for b, entries in self.manifest.bucket_files.items()
+                ),
+                reverse=True,
+            )
+            worst = [b for n_delta, b in over if n_delta > compact_threshold]
+            if worst:
                 try:
-                    self.compact(buckets=over)
+                    self.compact(buckets=worst[:max_auto_compact_buckets])
                 except ConcurrentCommitError:
                     pass  # another writer got there; next batch re-checks
         return rec

@@ -211,6 +211,33 @@ def test_mor_auto_compaction_bounds_deltas(spark, tmp_path):
     assert_df_equal(t.read(), changegen.expected_final_state(full))
 
 
+def test_auto_compaction_is_amortized(spark, tmp_path):
+    """When many buckets cross the threshold at once, each merge folds
+    at most max_auto_compact_buckets (the worst offenders) — wide
+    ingest never stalls behind an O(table) inline rewrite."""
+    t = make_table(spark, tmp_path, n_buckets=8)
+    calls = []
+    orig = t.compact
+
+    def spy(buckets=None, **kw):
+        calls.append(list(buckets or []))
+        return orig(buckets=buckets, **kw)
+
+    t.compact = spy
+    full = changegen.changes(spark, 1600, seed=84)
+    try:
+        for k in range(4):
+            t.merge_batch(
+                full.filter((F.col("lsn") >= k * 400) & (F.col("lsn") < (k + 1) * 400)),
+                f"b{k}", compact_threshold=1, max_auto_compact_buckets=2,
+            )
+    finally:
+        t.compact = orig
+    assert calls, "auto-compaction never triggered"
+    assert all(len(c) <= 2 for c in calls), calls
+    assert_df_equal(t.read(), changegen.expected_final_state(full))
+
+
 def test_compact_preserves_state(spark, tmp_path):
     t = make_table(spark, tmp_path)
     full = changegen.changes(spark, 2000, seed=8)
