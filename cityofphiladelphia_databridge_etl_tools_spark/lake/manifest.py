@@ -360,7 +360,9 @@ class MetaStore:
                 f"log position {delta.version} already committed by another "
                 f"writer; reload the manifest and retry the batch"
             )
-        self._cache = manifest
+        # cache a copy — the caller keeps a reference to `manifest` and
+        # must not be able to corrupt the in-process cache through it
+        self._cache = manifest.copy()
         self.fs.write_text(self.current_path, str(manifest.version))
         if manifest.version % self.snapshot_interval == 0:
             self.fs.create_exclusive(self.snapshot_path(manifest.version), manifest.to_json())
