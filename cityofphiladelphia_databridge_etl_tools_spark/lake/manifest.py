@@ -46,10 +46,56 @@ atomic operation.
 from __future__ import annotations
 
 import json
+import re
 import time
 from dataclasses import asdict, dataclass, field
 
 from .fs import FileSystem, LocalFS
+
+_LSN_BATCH_ID = re.compile(r"^lsn-(\d+)-(\d+)$")
+
+
+def _lsn_window(batch_id: str) -> tuple[int, int] | None:
+    m = _LSN_BATCH_ID.match(batch_id)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+class AppliedIds:
+    """Set-like view over the exactly-once state: structural membership
+    for ``lsn-<lo>-<hi>`` window ids (O(1) against the contiguous
+    cursor + the bounded out-of-order tail) plus a bounded recent-id
+    window for arbitrary ids. Supports ``in`` and ``some_set <= view``
+    (Python delegates the latter to ``__ge__`` here)."""
+
+    def __init__(self, m: "Manifest"):
+        self._m = m
+        self._recent = set(m.applied_ids)
+
+    def __contains__(self, batch_id: str) -> bool:
+        if batch_id in self._recent:
+            return True
+        w = _lsn_window(batch_id)
+        if w is None:
+            return False
+        lo, hi = w
+        return hi <= self._m.lsn_contig_hi or [lo, hi] in self._m.lsn_pending
+
+    def __ge__(self, other) -> bool:
+        return all(x in self for x in other)
+
+    # the recent window is also iterable/sizable/comparable as a set —
+    # convenience for tests and tooling over young tables (structural
+    # lsn membership beyond the window is reachable only via ``in``)
+    def __iter__(self):
+        return iter(self._recent)
+
+    def __len__(self) -> int:
+        return len(self._recent)
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, (set, frozenset)):
+            return self._recent == other
+        return NotImplemented
 
 
 @dataclass
@@ -79,10 +125,20 @@ class CommitRecord:
 @dataclass
 class Manifest:
     """In-memory materialized table state (reconstructed from the
-    latest snapshot + subsequent log deltas). ``commits`` keeps only
-    the most recent ``MetaStore.commit_retention`` records so the
-    in-memory/snapshot size is bounded; ``applied_ids`` keeps every
-    batch id ever committed (strings only — the exactly-once set)."""
+    latest snapshot + subsequent log deltas). Every per-commit
+    collection is BOUNDED so snapshot bytes and driver memory are
+    O(live files), never O(total commits):
+
+    - ``commits`` keeps the most recent ``MetaStore.commit_retention``
+      records (full lineage stays in the retained log);
+    - ``applied_ids`` keeps the most recent ``MetaStore.id_retention``
+      batch ids — the exactly-once window for ARBITRARY ids;
+    - ``lsn-<lo>-<hi>`` batch ids (the runner's windows) are tracked
+      STRUCTURALLY instead: ``lsn_contig_hi`` is the end of the
+      contiguous committed prefix and ``lsn_pending`` the committed
+      windows past the first gap (bounded by pipeline_depth), so
+      windowed ingest keeps exactly-once over unbounded table age in
+      O(1) state — the per-source high-water cursor."""
 
     version: int
     n_buckets: int
@@ -101,23 +157,35 @@ class Manifest:
     # tombstones at/below this lsn may have been GC'd (compaction
     # safety horizon for changes_since consumers); -1 = none GC'd
     tombstone_gc_lsn: int = -1
+    # every lsn-<lo>-<hi> window with hi <= this is committed (the
+    # runner's crash-safe resume point: end of the CONTIGUOUS prefix)
+    lsn_contig_hi: int = 0
+    # committed [lo, hi] windows past the first gap (out-of-order
+    # pipelined commits); merged into lsn_contig_hi as gaps fill, so
+    # its size is bounded by the ingest pipeline depth
+    lsn_pending: list[list[int]] = field(default_factory=list)
 
     def copy(self) -> "Manifest":
-        """Structure-sharing copy: containers are fresh, entries are
-        shared. MetaStore hands these out so callers can't corrupt the
-        in-process cache."""
+        """Structure-sharing copy: containers are fresh, entries
+        (including the per-bucket file LISTS, which are immutable by
+        convention — every state transition replaces a bucket's list,
+        never mutates it) are shared, so a copy is O(buckets), not
+        O(files). MetaStore hands these out so callers can't corrupt
+        the in-process cache through container mutation."""
         return Manifest(
             version=self.version,
             n_buckets=self.n_buckets,
             key_columns=list(self.key_columns),
             order_columns=list(self.order_columns),
             schema_versions=list(self.schema_versions),
-            bucket_files={b: list(v) for b, v in self.bucket_files.items()},
+            bucket_files=dict(self.bucket_files),
             commits=list(self.commits),
             watermarks=dict(self.watermarks),
             applied_ids=list(self.applied_ids),
             cursors=dict(self.cursors),
             tombstone_gc_lsn=self.tombstone_gc_lsn,
+            lsn_contig_hi=self.lsn_contig_hi,
+            lsn_pending=[list(w) for w in self.lsn_pending],
         )
 
     @property
@@ -125,8 +193,8 @@ class Manifest:
         return self.schema_versions[-1].schema_json
 
     @property
-    def applied_batch_ids(self) -> set[str]:
-        return set(self.applied_ids)
+    def applied_batch_ids(self) -> AppliedIds:
+        return AppliedIds(self)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))
@@ -137,7 +205,10 @@ class Manifest:
         d["schema_versions"] = [SchemaVersion(**v) for v in d["schema_versions"]]
         d["commits"] = [CommitRecord(**c) for c in d["commits"]]
         d.setdefault("applied_ids", [c.batch_id for c in d["commits"]])
-        return Manifest(**d)
+        m = Manifest(**d)
+        if "lsn_contig_hi" not in d:  # legacy state: bootstrap the cursor
+            m.lsn_contig_hi, m.lsn_pending = _fold_lsn_windows(0, [], m.applied_ids)
+        return m
 
 
 @dataclass
@@ -185,22 +256,56 @@ class ConcurrentCommitError(RuntimeError):
     lock-killing)."""
 
 
-def apply_delta(parent: Manifest | None, delta: LogDelta, commit_retention: int) -> Manifest:
-    """Pure state transition: parent manifest + delta → child."""
+def _fold_lsn_windows(
+    contig_hi: int, pending: list[list[int]], new_ids: list[str]
+) -> tuple[int, list[list[int]]]:
+    """Advance the structural lsn cursor with newly committed window
+    ids: extend the contiguous prefix, park out-of-order windows in
+    ``pending``, and drain pending as gaps fill. O(pending) per call;
+    pending is bounded by the ingest pipeline depth."""
+    pend = [list(w) for w in pending]
+    for bid in new_ids:
+        w = _lsn_window(bid)
+        if w is not None and list(w) not in pend and w[1] > contig_hi:
+            pend.append([w[0], w[1]])
+    pend.sort()
+    drained: list[list[int]] = []
+    for lo, hi in pend:
+        if lo <= contig_hi:
+            contig_hi = max(contig_hi, hi)
+        else:
+            drained.append([lo, hi])
+    return contig_hi, drained
+
+
+def apply_delta(
+    parent: Manifest | None,
+    delta: LogDelta,
+    commit_retention: int,
+    id_retention: int = 10_000,
+) -> Manifest:
+    """Pure state transition: parent manifest + delta → child.
+
+    Structure-sharing: untouched buckets' file lists are SHARED with
+    the parent (bucket-file lists are immutable by convention — always
+    replaced, never mutated), so a commit's in-memory cost is O(its
+    own diff), not O(table files)."""
     if delta.full_state is not None:
-        d = dict(delta.full_state)
-        m = Manifest.from_json(json.dumps(d))
+        m = Manifest.from_json(json.dumps(delta.full_state))
         m.version = delta.version
         return m
     assert parent is not None and delta.version == parent.version + 1
-    bucket_files = {b: list(v) for b, v in parent.bucket_files.items()}
+    bucket_files = dict(parent.bucket_files)
     for b, entries in delta.bucket_replaces.items():
-        bucket_files[b] = list(entries)
+        if entries:
+            bucket_files[b] = [list(e) for e in entries]
+        else:
+            # buckets emptied by a replace (overwrite/rebucket) drop
+            # out of the index entirely rather than lingering
+            bucket_files.pop(b, None)
     for b, entries in delta.bucket_appends.items():
-        bucket_files.setdefault(b, []).extend(entries)
-    # buckets emptied by a replace (overwrite/rebucket) drop out of the
-    # index entirely rather than lingering as dead keys
-    bucket_files = {b: v for b, v in bucket_files.items() if v}
+        if entries:
+            bucket_files[b] = bucket_files.get(b, []) + [list(e) for e in entries]
     if delta.replace_watermarks:
         watermarks = dict(delta.watermark_updates)
     else:
@@ -210,6 +315,10 @@ def apply_delta(parent: Manifest | None, delta: LogDelta, commit_retention: int)
     commits = (parent.commits + delta.new_commits)[-commit_retention:]
     cursors = dict(parent.cursors)
     cursors.update(delta.cursor_updates)
+    new_ids = [c.batch_id for c in delta.new_commits]
+    contig_hi, pending = _fold_lsn_windows(
+        parent.lsn_contig_hi, parent.lsn_pending, new_ids
+    )
     return Manifest(
         version=delta.version,
         n_buckets=delta.new_n_buckets or parent.n_buckets,
@@ -219,13 +328,15 @@ def apply_delta(parent: Manifest | None, delta: LogDelta, commit_retention: int)
         bucket_files=bucket_files,
         commits=commits,
         watermarks=watermarks,
-        applied_ids=parent.applied_ids + [c.batch_id for c in delta.new_commits],
+        applied_ids=(parent.applied_ids + new_ids)[-id_retention:],
         cursors=cursors,
         tombstone_gc_lsn=(
             delta.tombstone_gc_lsn
             if delta.tombstone_gc_lsn is not None
             else parent.tombstone_gc_lsn
         ),
+        lsn_contig_hi=contig_hi,
+        lsn_pending=pending,
     )
 
 
@@ -245,6 +356,7 @@ class MetaStore:
         fs: FileSystem | None = None,
         snapshot_interval: int = 32,
         commit_retention: int = 1000,
+        id_retention: int = 10_000,
     ):
         self.root = root
         self.fs = fs or LocalFS()
@@ -254,6 +366,9 @@ class MetaStore:
         self.data_dir = f"{root}/data"
         self.snapshot_interval = snapshot_interval
         self.commit_retention = commit_retention
+        # exactly-once replay-detection window for ARBITRARY batch ids;
+        # lsn-window ids are exempt (tracked structurally, unbounded)
+        self.id_retention = id_retention
         self._cache: Manifest | None = None
 
     # -- paths -----------------------------------------------------------
@@ -294,7 +409,7 @@ class MetaStore:
         v = m.version + 1
         while self.fs.exists(self.delta_path(v)):
             delta = LogDelta.from_json(self.fs.read_text(self.delta_path(v)))
-            m = apply_delta(m, delta, self.commit_retention)
+            m = apply_delta(m, delta, self.commit_retention, self.id_retention)
             v += 1
         return m
 
@@ -306,7 +421,7 @@ class MetaStore:
                 m = Manifest.from_json(self.fs.read_text(self.snapshot_path(snaps[-1])))
             elif self.fs.exists(self.delta_path(0)):
                 d0 = LogDelta.from_json(self.fs.read_text(self.delta_path(0)))
-                m = apply_delta(None, d0, self.commit_retention)
+                m = apply_delta(None, d0, self.commit_retention, self.id_retention)
             else:
                 raise FileNotFoundError(f"no lake table metadata under {self.meta_dir}")
         m = self._roll_forward(m)
@@ -337,7 +452,7 @@ class MetaStore:
         """Apply + persist one commit. The create-exclusive write of
         the delta record is the atomic commit point; everything after
         it (hint, snapshot) is best-effort derived data."""
-        new = apply_delta(parent, delta, self.commit_retention)
+        new = apply_delta(parent, delta, self.commit_retention, self.id_retention)
         if not self.fs.create_exclusive(self.delta_path(delta.version), delta.to_json()):
             raise ConcurrentCommitError(
                 f"log position {delta.version} already committed by another "

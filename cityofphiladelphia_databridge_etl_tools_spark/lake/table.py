@@ -41,6 +41,7 @@ import json
 import os
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,6 +66,9 @@ from .schema import coerce_to, evolve_schema
 
 OP_COL = "op"
 BASE, DELTA = "base", "delta"
+# tombstone-GC horizon meaning "all tombstones purged, no lsn bound
+# known" (bare gc_tombstones on a table with no integer watermarks)
+GC_ALL_SENTINEL = 2**62
 
 
 def _with_deleted(schema: T.StructType) -> T.StructType:
@@ -406,6 +410,11 @@ class LakeTable:
                     raise  # content depends on parent snapshot — replay
                 if fresh.schema_versions[-1].schema_json != current.json():
                     raise  # winner evolved the schema under us — replay
+                if fresh.n_buckets != m.n_buckets:
+                    # winner was a rebucket(): our files are bucketed
+                    # under the OLD modulus, so appending them would
+                    # poison bucket-pruned reads — restage the batch
+                    raise
                 m = fresh  # MOR appends commute: rebase and re-CAS
                 delta.version = m.version + 1
         else:
@@ -532,7 +541,16 @@ class LakeTable:
         oc = m.order_columns[-1]
         try:
             back = self.spark.read.schema(df.schema).parquet(snap_dir)
-        except Exception:
+        except AnalysisException:
+            # ONLY a genuinely absent path (a write whose every row was
+            # filtered never creates the directory) maps to "no files
+            # were written". Any other failure must propagate BEFORE
+            # the commit point — a bare except here once conflated a
+            # transient read error with an empty write, committing the
+            # batch id with zero files and losing the rows permanently
+            # (replay blocked by exactly-once).
+            if self.store.fs.exists(snap_dir):
+                raise
             return {}, {}
         oc_col = F.col(oc) if oc in back.columns else F.lit(None)
         stats = (
@@ -672,6 +690,13 @@ class LakeTable:
         for p in parts[1:]:
             df = df.unionByName(p)
         last = m.order_columns[-1]
+        # non-integer order columns carry no lsn to compare: the feed
+        # degrades to "all rows from non-skippable files" (consumers
+        # dedup by key+order) instead of a type-mismatch error
+        if not isinstance(
+            stored_current[last].dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            return df
         return df.filter(F.col(last) > F.lit(lsn_exclusive))
 
     def _files_newer_than(self, m: Manifest, lsn_exclusive: int) -> dict[int, list[str]]:
@@ -680,7 +705,11 @@ class LakeTable:
         for entries in m.bucket_files.values():
             for e in entries:
                 hi = e[4] if len(e) >= 5 else None
-                if hi is None or int(hi) > lsn_exclusive:
+                # string-typed order columns record string stats; an
+                # unparsable hi (_as_lsn -> -1) means "cannot skip":
+                # include the file instead of raising mid-feed
+                hi_lsn = _as_lsn(hi) if hi is not None else -1
+                if hi is None or hi_lsn < 0 or hi_lsn > lsn_exclusive:
                     out.setdefault(e[1], []).append(os.path.join(self.store.root, e[0]))
         return out
 
@@ -866,6 +895,14 @@ class LakeTable:
             if gc_tombstones:
                 if gc_tombstones_below_lsn is None:
                     gc_horizon = max([-1] + [int(w) for w in m.watermarks.values()])
+                    if gc_horizon < 0 and m.bucket_files:
+                        # non-integer order columns leave watermarks
+                        # empty, yet bare GC still purges EVERY
+                        # tombstone — record an "everything purged"
+                        # sentinel so strict changes_since and the
+                        # cursor-lag guard below still fire instead of
+                        # being silently bypassed by horizon -1.
+                        gc_horizon = GC_ALL_SENTINEL
                     keep = ~F.col(DELETED_COL)
                 else:
                     gc_horizon = int(gc_tombstones_below_lsn) - 1

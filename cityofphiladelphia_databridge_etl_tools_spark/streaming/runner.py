@@ -36,15 +36,17 @@ class LsnWindowRunner:
         self.mode = mode
 
     def resume_lsn(self) -> int:
-        """First unprocessed lsn, recovered from the commit log. Empty
-        commits (empty windows) also advance it via their batch ids."""
-        best = 0
-        for c in self.table.manifest.commits:
-            bid = c.batch_id
-            if bid.startswith("lsn-"):
-                _, _lo, hi = bid.split("-")
-                best = max(best, int(hi))
-        return best
+        """First unprocessed lsn: the end of the CONTIGUOUS committed
+        prefix (manifest.lsn_contig_hi), maintained by the metadata
+        layer as windows commit. Pipelined ingest commits windows out
+        of order, so after a crash the max committed hi may sit PAST an
+        uncommitted gap — resuming there would silently drop the gap's
+        data. Resuming at the contiguous prefix instead re-submits the
+        gap; windows beyond it that already committed are skipped by
+        their batch ids (exactly-once), so recovery is both lossless
+        and idempotent. Empty windows also advance the prefix via
+        their (committed) batch ids."""
+        return self.table.manifest.lsn_contig_hi
 
     def run_until(self, until_lsn: int, pipeline_depth: int = 1) -> list[CommitRecord]:
         """Apply consecutive windows up to (not incl.) until_lsn.

@@ -475,3 +475,94 @@ def test_per_turn_text_equality(spark, tmp_path):
         for r in changegen.expected_final_state(stream).orderBy("conv_id", "turn_idx").select("text").collect()
     ]
     assert mine == oracle
+
+
+def test_mor_lost_race_to_rebucket_refuses_rebase(spark, tmp_path):
+    """If the race winner changed the bucket COUNT, the loser's files
+    are bucketed under the old modulus — rebasing would poison every
+    bucket-pruned read. It must raise for a clean restage instead."""
+    from cityofphiladelphia_databridge_etl_tools_spark.lake import ConcurrentCommitError
+
+    t = make_table(spark, tmp_path)
+    other = LakeTable(spark, t.store.root)
+    stream = changegen.changes(spark, 900, seed=83)
+    t.merge_batch(stream.filter(F.col("lsn") < 300), "b0")
+
+    real = t.store.commit_delta
+    fired = {"n": 0}
+
+    def racy(parent, delta):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            other.rebucket(16)  # the race winner changes the modulus
+        return real(parent, delta)
+
+    t.store.commit_delta = racy
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            t.merge_batch(stream.filter(F.col("lsn") >= 300), "b1")
+    finally:
+        t.store.commit_delta = real
+    # the replay against fresh (16-bucket) state reconverges
+    assert t.merge_batch(stream.filter(F.col("lsn") >= 300), "b1") is not None
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+
+
+def test_bare_tombstone_gc_without_watermarks_records_sentinel(spark, tmp_path):
+    """Bare gc_tombstones on a table with NO integer watermarks still
+    purges every tombstone — the GC horizon must record that (sentinel)
+    so strict changes_since refuses instead of silently missing
+    deletes, and registered cursors block the GC outright."""
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         key_columns=["k"], order_columns=["ts"], n_buckets=2)
+    mk = "k string, v string, ts string, op string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, mk).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    t.merge_batch(df([("a", "v1", "2024-01-01 10:00:00", "I"),
+                      ("b", "v1", "2024-01-01 10:00:00", "I")]), "b1")
+    t.merge_batch(df([("b", None, "2024-01-02 11:00:00", "D")]), "b2")
+    assert t.manifest.watermarks == {}
+
+    # a registered consumer blocks the unbounded GC
+    t.register_cursor("feed", 0)
+    with pytest.raises(ValueError, match="tombstone GC"):
+        t.compact(gc_tombstones=True)
+
+    t.compact(gc_tombstones=True, force=True)
+    assert t.manifest.tombstone_gc_lsn > 0  # sentinel recorded
+    with pytest.raises(ValueError, match="GC horizon"):
+        t.changes_since(10**9)
+    # non-strict consumers still get the upserts-only feed
+    assert t.changes_since(-1, strict=False).count() >= 1
+    out = {r["k"]: r["v"] for r in t.read().collect()}
+    assert out == {"a": "v1"}
+
+
+def test_changes_since_with_string_order_stats_does_not_raise(spark, tmp_path):
+    """A table whose LAST order column is string-typed records string
+    per-file stats; manifest-level file skipping must degrade to
+    'cannot skip' (include the file), not raise ValueError."""
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("seq", T.StringType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         key_columns=["k"], order_columns=["seq"], n_buckets=2)
+    t.merge_batch(
+        spark.createDataFrame([("a", "v1", "x-001", "I")], "k string, v string, seq string, op string"),
+        "b1",
+    )
+    m = t.manifest
+    # per-file hi stats really are strings (the degraded case)
+    his = [e[4] for entries in m.bucket_files.values() for e in entries]
+    assert any(isinstance(h, str) for h in his)
+    paths = t._files_newer_than(m, 0)
+    assert sum(len(v) for v in paths.values()) == len(his)  # nothing skipped

@@ -140,3 +140,85 @@ def test_reader_mutation_cannot_corrupt_cache(tmp_path):
     m.bucket_files.clear()
     again = store.read_current()
     assert again.version == 1 and again.bucket_files
+
+
+def lsn_delta(v, lo, hi):
+    return LogDelta(
+        version=v,
+        new_commits=[CommitRecord(f"lsn-{lo}-{hi}", lo, hi - 1, 10, 10, 10, 0, [0], 0.0)],
+        bucket_appends={"0": [[f"data/s{v:06d}/f.parquet", 0, "delta", lo, hi - 1]]},
+        watermark_updates={"0": hi - 1},
+    )
+
+
+def test_lsn_windows_tracked_structurally_and_ids_bounded(tmp_path):
+    """lsn-window batch ids keep exactly-once over UNBOUNDED table age
+    through the contiguous-prefix cursor + out-of-order tail, while
+    arbitrary ids use the bounded recent window — so the manifest never
+    accumulates one string per commit forever."""
+    store = MetaStore(str(tmp_path / "t"), id_retention=5)
+    store.commit(base_manifest())
+    m = store.read_current()
+    # out-of-order pipelined commits: 0-10 committed, 20-30 committed,
+    # 10-20 is the crash gap
+    m = store.commit_delta(m, lsn_delta(1, 0, 10))
+    m = store.commit_delta(m, lsn_delta(2, 20, 30))
+    assert m.lsn_contig_hi == 10
+    assert m.lsn_pending == [[20, 30]]
+    applied = m.applied_batch_ids
+    assert "lsn-0-10" in applied and "lsn-20-30" in applied
+    assert "lsn-10-20" not in applied
+    # the gap fills -> prefix extends over the pending tail
+    m = store.commit_delta(m, lsn_delta(3, 10, 20))
+    assert m.lsn_contig_hi == 30 and m.lsn_pending == []
+    # arbitrary ids: bounded retention window (id_retention=5)
+    for v in range(4, 14):
+        m = store.commit_delta(m, make_delta(v))
+    assert len(m.applied_ids) == 5
+    assert "b13" in m.applied_batch_ids      # recent: detected
+    assert "b4" not in m.applied_batch_ids   # aged out of the window
+    # lsn ids survive aging: structural, not list-membership
+    assert "lsn-0-10" in m.applied_batch_ids
+    # cold reload reconstructs the cursor from the log/snapshot
+    fresh = MetaStore(str(tmp_path / "t"), id_retention=5)
+    fm = fresh.read_current()
+    assert fm.lsn_contig_hi == 30 and "lsn-20-30" in fm.applied_batch_ids
+
+
+def test_snapshot_size_and_cold_read_flat_in_commit_count(tmp_path):
+    """With constant live-file state, snapshot bytes and cold
+    read_current() latency must be FLAT in total commits: bounded
+    applied_ids/commits plus structure-shared bucket_files mean no
+    O(total-commits) residue accumulates in the materialized state."""
+    store = MetaStore(
+        str(tmp_path / "t"), snapshot_interval=32, commit_retention=50, id_retention=100
+    )
+    store.commit(base_manifest())
+    m = store.read_current()
+
+    def replace_delta(v):
+        return LogDelta(
+            version=v,
+            new_commits=[CommitRecord(f"b{v}", v, v, 10, 10, 10, 0, [0], 0.0)],
+            bucket_replaces={
+                "0": [[f"data/s{v:06d}/f{i}.parquet", 0, "base", v, v] for i in range(8)]
+            },
+            watermark_updates={"0": v},
+        )
+
+    sizes = {}
+    import os as _os
+    for v in range(1, 1201):
+        m = store.commit_delta(m, replace_delta(v))
+        if v in (96, 1184):  # both are snapshot versions (32*k)
+            sizes[v] = _os.path.getsize(store.snapshot_path(v))
+    assert sizes[1184] < sizes[96] * 1.5, f"snapshot grew with age: {sizes}"
+
+    def cold_read():
+        s2 = MetaStore(str(tmp_path / "t"), commit_retention=50, id_retention=100)
+        t0 = time.perf_counter()
+        s2.read_current()
+        return time.perf_counter() - t0
+
+    t_late = min(cold_read() for _ in range(3))
+    assert t_late < 0.5, f"cold read_current too slow at 1200 commits: {t_late}"

@@ -146,3 +146,29 @@ def test_hot_key_salting_spreads_files(spark, tmp_path):
     files = next(iter(m.bucket_files.values()))
     # ... but across >1 file because (conv, turn) salting spread tasks
     assert len(files) > 1, files
+
+
+def test_resume_after_pipelined_crash_gap_loses_nothing(spark, tmp_path):
+    """Pipelined ingest commits windows out of order. A crash that
+    leaves a GAP (window 250-500 failed while 500-750 committed) must
+    resume at the gap — the contiguous committed prefix — not at the
+    max committed hi, or the gap's rows would be silently lost."""
+    t = make_table(spark, tmp_path)
+    full = changegen.changes(spark, 750, seed=91)
+
+    def source(lo, hi):
+        return full.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+    # simulate the torn pipelined run: windows 0-250 and 500-750
+    # committed, 250-500 crashed before its commit
+    t.merge_batch(source(0, 250), "lsn-0-250")
+    t.merge_batch(source(500, 750), "lsn-500-750")
+
+    r = LsnWindowRunner(t, source, events_per_batch=250)
+    assert r.resume_lsn() == 250  # NOT 750
+    recs = r.run_until(750)
+    # only the gap window actually applied; 500-750 skipped by batch id
+    assert [c.batch_id for c in recs] == ["lsn-250-500"]
+    assert r.resume_lsn() == 750
+    assert t.manifest.lsn_pending == []
+    assert_df_equal(t.read(), changegen.expected_final_state(full))
