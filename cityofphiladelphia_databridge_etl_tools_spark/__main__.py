@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--keys", default="conv_id,turn_idx")
     c.add_argument("--order-cols", default="ts,lsn")
     c.add_argument("--n-buckets", type=int, default=16)
+    c.add_argument(
+        "--bucket-cols",
+        help="comma list of key columns the bucket hash covers "
+             "(default: all keys; narrow for entity locality)",
+    )
 
     i = sub.add_parser("ingest", help="merge one change batch (parquet)")
     i.add_argument("--root", required=True)
@@ -108,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
             key_columns=args.keys.split(","),
             order_columns=args.order_cols.split(","),
             n_buckets=args.n_buckets,
+            bucket_columns=args.bucket_cols.split(",") if args.bucket_cols else None,
         )
         print(f"created {args.root}")
     elif args.cmd == "ingest":
@@ -182,7 +188,8 @@ def main(argv: list[str] | None = None) -> int:
             f"version={m.version} buckets={m.n_buckets} keys={m.key_columns} "
             f"order={m.order_columns} schema_v={m.schema_versions[-1].version} "
             f"files={n_files} (delta={n_delta}) commits={len(m.commits)} "
-            f"applied={len(m.applied_ids)} cursors={m.cursors} "
+            f"applied={len(m.applied_ids)} lsn_contig_hi={m.lsn_contig_hi} "
+            f"bucket_cols={m.effective_bucket_columns} cursors={m.cursors} "
             f"tombstone_gc_lsn={m.tombstone_gc_lsn}"
         )
         t.lineage().orderBy("committed_at").show(50, truncate=False)

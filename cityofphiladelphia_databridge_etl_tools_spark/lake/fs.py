@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
+import time
 
 
 class FileSystem:
@@ -131,3 +133,78 @@ class LocalFS(FileSystem):
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+
+
+class InMemoryObjectStore(FileSystem):
+    """Flat-namespace object store with CONDITIONAL-PUT semantics —
+    the exact driver-visible contract of S3 (``PUT`` +
+    ``If-None-Match: *``, strongly consistent since 2020) and GCS
+    (``x-goog-if-generation-match: 0``). Paths are opaque keys; there
+    are no directories (``makedirs`` is a no-op, ``listdir`` is a
+    prefix scan, debris cleanup returns False).
+
+    This is the proving double for the metadata seam: the whole
+    MetaStore test suite runs against it unchanged, so a production
+    S3/GCS implementation only has to map these six operations onto
+    the store's HTTP API — no log/commit logic changes. It is also
+    thread-safe, matching the multi-writer CAS contract the commit
+    protocol relies on."""
+
+    def __init__(self):
+        self._objects: dict[str, str] = {}
+        self._mtimes: dict[str, float] = {}
+        self._lock = threading.Lock()
+
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            return path in self._objects
+
+    def read_text(self, path: str) -> str:
+        with self._lock:
+            try:
+                return self._objects[path]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def write_text(self, path: str, text: str) -> None:
+        with self._lock:  # plain PUT: last writer wins
+            self._objects[path] = text
+            self._mtimes[path] = time.time()
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        with self._lock:  # PUT If-None-Match:* — one winner per key
+            if path in self._objects:
+                return False
+            self._objects[path] = text
+            self._mtimes[path] = time.time()
+            return True
+
+    def listdir(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        with self._lock:
+            names = {
+                k[len(prefix):].split("/", 1)[0]
+                for k in self._objects
+                if k.startswith(prefix)
+            }
+        return sorted(names)
+
+    def walk_files(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        with self._lock:
+            return sorted(k for k in self._objects if k.startswith(prefix))
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(path, None)
+            self._mtimes.pop(path, None)
+
+    def mtime(self, path: str) -> float:
+        with self._lock:
+            try:
+                return self._mtimes[path]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories

@@ -164,6 +164,10 @@ class Manifest:
     # pipelined commits); merged into lsn_contig_hi as gaps fill, so
     # its size is bounded by the ingest pipeline depth
     lsn_pending: list[list[int]] = field(default_factory=list)
+    # columns the key->bucket hash covers: any subset of key_columns
+    # (a pure function of the merge key, so LWW stays bucket-local).
+    # None = legacy single-column behavior, [key_columns[0]].
+    bucket_columns: list[str] | None = None
 
     def copy(self) -> "Manifest":
         """Structure-sharing copy: containers are fresh, entries
@@ -186,7 +190,12 @@ class Manifest:
             tombstone_gc_lsn=self.tombstone_gc_lsn,
             lsn_contig_hi=self.lsn_contig_hi,
             lsn_pending=[list(w) for w in self.lsn_pending],
+            bucket_columns=list(self.bucket_columns) if self.bucket_columns else None,
         )
+
+    @property
+    def effective_bucket_columns(self) -> list[str]:
+        return self.bucket_columns or self.key_columns[:1]
 
     @property
     def current_schema_json(self) -> str:
@@ -230,8 +239,10 @@ class LogDelta:
     cursor_updates: dict[str, int] = field(default_factory=dict)
     tombstone_gc_lsn: int | None = None
     # rebucketing: the key→bucket function changes, so the delta must
-    # carry the new modulus alongside the full bucket_replaces
+    # carry the new modulus (and optionally new hash columns) alongside
+    # the full bucket_replaces
     new_n_buckets: int | None = None
+    new_bucket_columns: list[str] | None = None
     # legacy full-state commit (create(), MetaStore.commit(manifest))
     full_state: dict | None = None
 
@@ -337,6 +348,7 @@ def apply_delta(
         ),
         lsn_contig_hi=contig_hi,
         lsn_pending=pending,
+        bucket_columns=delta.new_bucket_columns or parent.bucket_columns,
     )
 
 

@@ -110,10 +110,25 @@ class LakeTable:
         key_columns: list[str],
         order_columns: list[str] = ("ts", "lsn"),
         n_buckets: int = 16,
+        bucket_columns: list[str] | None = None,
     ) -> "LakeTable":
+        """``bucket_columns`` picks which key columns the key→bucket
+        hash covers (must be a subset of ``key_columns`` so LWW stays
+        bucket-local). Default: ALL key columns — a low-cardinality
+        leading key (e.g. dept) still spreads over every bucket.
+        Narrow it (e.g. ["conv_id"]) to co-locate an entity's rows for
+        single-bucket entity reads, trading point-lookup granularity
+        for locality."""
         for k in list(key_columns) + list(order_columns):
             if k not in schema.names:
                 raise ValueError(f"key/order column {k!r} not in schema")
+        bucket_columns = list(bucket_columns) if bucket_columns else list(key_columns)
+        if not set(bucket_columns) <= set(key_columns):
+            raise ValueError(
+                f"bucket_columns {bucket_columns} must be a subset of "
+                f"key_columns {list(key_columns)} (the bucket must be a "
+                f"pure function of the merge key)"
+            )
         store = MetaStore(root)
         if store.exists():
             raise FileExistsError(root)
@@ -127,6 +142,7 @@ class LakeTable:
             bucket_files={},
             commits=[],
             watermarks={},
+            bucket_columns=bucket_columns,
         )
         store.commit(manifest)
         return cls(spark, root)
@@ -302,7 +318,7 @@ class LakeTable:
         staged = coerce_to(
             staged.withColumn(DELETED_COL, F.col(OP_COL) == F.lit("D")).drop(OP_COL),
             stored_schema,
-        ).withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
+        ).withColumn("_bucket", bucket_expr(m.effective_bucket_columns, m.n_buckets))
 
         obs_out = Observation()
         snap_rel = f"data/snap-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
@@ -322,7 +338,7 @@ class LakeTable:
             target = coerce_to(
                 self.read(buckets=touched, include_deleted=True, manifest=m),
                 stored_schema,
-            ).withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
+            ).withColumn("_bucket", bucket_expr(m.effective_bucket_columns, m.n_buckets))
             unioned = target.withColumn("_src", F.lit(False)).unionByName(
                 persisted.withColumn("_src", F.lit(True))
             ).withColumn("_salt", salt_expr(n_salt, *keys))
@@ -410,10 +426,13 @@ class LakeTable:
                     raise  # content depends on parent snapshot — replay
                 if fresh.schema_versions[-1].schema_json != current.json():
                     raise  # winner evolved the schema under us — replay
-                if fresh.n_buckets != m.n_buckets:
+                if (
+                    fresh.n_buckets != m.n_buckets
+                    or fresh.effective_bucket_columns != m.effective_bucket_columns
+                ):
                     # winner was a rebucket(): our files are bucketed
-                    # under the OLD modulus, so appending them would
-                    # poison bucket-pruned reads — restage the batch
+                    # under the OLD key→bucket function, so appending
+                    # them would poison bucket-pruned reads — restage
                     raise
                 m = fresh  # MOR appends commute: rebase and re-CAS
                 delta.version = m.version + 1
@@ -608,7 +627,7 @@ class LakeTable:
         staged = dedup_last_writer(
             coerce_to(staged.withColumn(DELETED_COL, F.lit(False)), stored_schema),
             keys, m.order_columns,
-        ).withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
+        ).withColumn("_bucket", bucket_expr(m.effective_bucket_columns, m.n_buckets))
         snap_rel = f"data/refresh-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
         new_files, bucket_rows = self._write_snapshot(staged, snap_rel, current_version, BASE, m)
         met = obs.get
@@ -713,20 +732,26 @@ class LakeTable:
                     out.setdefault(e[1], []).append(os.path.join(self.store.root, e[0]))
         return out
 
-    def rebucket(self, n_buckets: int) -> None:
-        """Change the bucket count — the sizing correction a table
-        needs after growing 1000x (or shrinking): full rewrite under
-        the new key→bucket function, committed as one snapshot flip.
-        Offline O(table) maintenance, like Iceberg's rewrite with a new
-        partition spec; tombstones, cursors, schema history, and the
-        GC horizon all carry over. Per-bucket watermarks collapse to
-        the global max (a safe upper bound — exactly-once replay uses
-        batch ids, not watermarks)."""
+    def rebucket(self, n_buckets: int, bucket_columns: list[str] | None = None) -> None:
+        """Change the bucket count (and optionally the bucket-key
+        columns) — the sizing correction a table needs after growing
+        1000x, or the migration path from single-column to composite
+        bucketing: full rewrite under the new key→bucket function,
+        committed as one snapshot flip. Offline O(table) maintenance,
+        like Iceberg's rewrite with a new partition spec; tombstones,
+        cursors, schema history, and the GC horizon all carry over.
+        Per-bucket watermarks collapse to the global max (a safe upper
+        bound — exactly-once replay uses batch ids, not watermarks)."""
         m = self.manifest
-        if n_buckets == m.n_buckets:
+        new_bcols = list(bucket_columns) if bucket_columns else m.effective_bucket_columns
+        if not set(new_bcols) <= set(m.key_columns):
+            raise ValueError(
+                f"bucket_columns {new_bcols} must be a subset of key_columns"
+            )
+        if n_buckets == m.n_buckets and new_bcols == m.effective_bucket_columns:
             return
         df = self.read(include_deleted=True, manifest=m).withColumn(
-            "_bucket", bucket_expr(m.key_columns[0], n_buckets)
+            "_bucket", bucket_expr(new_bcols, n_buckets)
         )
         snap_rel = f"data/rebucket-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
         new_files, _ = self._write_snapshot(
@@ -741,6 +766,7 @@ class LakeTable:
                 version=m.version + 1,
                 bucket_replaces=replaces,
                 new_n_buckets=n_buckets,
+                new_bucket_columns=new_bcols,
                 replace_watermarks=True,
                 watermark_updates=(
                     {b: global_wm for b in new_files} if global_wm >= 0 else {}
@@ -749,20 +775,64 @@ class LakeTable:
         )
 
     def read_key(self, key_value, extra_filter=None) -> DataFrame:
-        """Point lookup by the bucketing key: manifest-pruned to the
-        ONE bucket the key hashes to, then filtered (parquet min/max
+        """Point lookup by the bucket key: manifest-pruned to the ONE
+        bucket the key hashes to, then filtered (parquet min/max
         row-group stats on the key-sorted files prune inside the
         bucket). The engine's answer to the reference's per-row AGO
-        point query (ago/ago.py:1317-1360) — O(1 bucket), not
-        O(table)."""
+        point query (ago/ago.py:1317-1360) — O(1 bucket), not O(table).
+
+        ``key_value``: a scalar (single bucket column) or a
+        tuple/list/dict covering ALL the table's bucket columns. The
+        bucket hash is computed DRIVER-SIDE (lake/keyhash.py replicates
+        F.xxhash64 bit-for-bit, pinned by test) so a lookup costs
+        metadata + one pruned scan — no auxiliary Spark job on the
+        serving path."""
         m = self.manifest
-        key0 = m.key_columns[0]
-        b = (
-            self.spark.range(1)
-            .select(bucket_expr(F.lit(key_value), m.n_buckets).alias("b"))
-            .collect()[0]["b"]
-        )
-        out = self.read(buckets=[b], manifest=m).filter(F.col(key0) == F.lit(key_value))
+        bcols = m.effective_bucket_columns
+        if isinstance(key_value, dict):
+            missing = [c for c in bcols if c not in key_value]
+            if missing:
+                raise ValueError(f"read_key missing bucket column(s) {missing}")
+            vals = [key_value[c] for c in bcols]
+        elif isinstance(key_value, (tuple, list)):
+            vals = list(key_value)
+        else:
+            vals = [key_value]
+        if len(vals) != len(bcols):
+            raise ValueError(
+                f"read_key needs one value per bucket column {bcols}, got {vals!r}"
+            )
+        schema = self.schema(m)
+        typed = []
+        for c, v in zip(bcols, vals):
+            dt = schema[c].dataType
+            if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+                typed.append(("int", int(v)))
+            elif isinstance(dt, T.LongType):
+                typed.append(int(v))
+            elif isinstance(dt, T.StringType):
+                typed.append(str(v))
+            elif isinstance(dt, (T.BinaryType,)):
+                typed.append(bytes(v))
+            else:
+                typed = None  # exotic key type: fall back to a Spark job
+                break
+        if typed is not None:
+            from .keyhash import bucket_of
+
+            b = bucket_of(typed, m.n_buckets)
+        else:
+            lits = [
+                F.lit(v).cast(schema[c].dataType) for c, v in zip(bcols, vals)
+            ]
+            b = (
+                self.spark.range(1)
+                .select(bucket_expr(lits, m.n_buckets).alias("b"))
+                .collect()[0]["b"]
+            )
+        out = self.read(buckets=[b], manifest=m)
+        for c, v in zip(bcols, vals):
+            out = out.filter(F.col(c) == F.lit(v))
         if extra_filter is not None:
             out = out.filter(extra_filter)
         return out
@@ -920,8 +990,9 @@ class LakeTable:
                         f"gc_tombstones_below_lsn, or pass force=True."
                     )
                 df = df.filter(keep)
-            keys = m.key_columns
-            df = df.withColumn("_bucket", bucket_expr(keys[0], m.n_buckets))
+            df = df.withColumn(
+                "_bucket", bucket_expr(m.effective_bucket_columns, m.n_buckets)
+            )
             snap_rel = f"data/compact-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
             current_version = m.schema_versions[-1].version
             new_files, _ = self._write_snapshot(

@@ -30,15 +30,21 @@ from pyspark.sql import functions as F
 DELETED_COL = "_deleted"
 
 
-def bucket_expr(key_col: str | Column, n_buckets: int) -> Column:
-    """Deterministic key→bucket assignment: pmod(xxhash64(key), n).
+def bucket_expr(key_cols: str | Column | list, n_buckets: int) -> Column:
+    """Deterministic key→bucket assignment: pmod(xxhash64(*keys), n).
 
+    Accepts one column or a LIST of columns — composite bucket keys
+    hash every column, so a low-cardinality leading key (e.g. dept)
+    still spreads across all buckets instead of collapsing into a few.
     xxhash64 is JVM-side and seed-stable, so bucket assignment is
     reproducible across sessions/clusters — a requirement for the
-    manifest's bucket→files index to stay valid.
+    manifest's bucket→files index to stay valid — and is re-computable
+    driver-side (lake/keyhash.py) for job-free point lookups.
     """
-    c = F.col(key_col) if isinstance(key_col, str) else key_col
-    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+    if isinstance(key_cols, (str, Column)):
+        key_cols = [key_cols]
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
 
 
 def salt_expr(n_salt: int, *cols: str) -> Column:

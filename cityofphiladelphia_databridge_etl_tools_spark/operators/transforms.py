@@ -164,6 +164,19 @@ def add_objectid(
     )
 
 
+def _coords_json(pts) -> Column:
+    """'x1 y1, x2 y2' → '[x1,y1],[x2,y2]' (one WKT coordinate run)."""
+    return F.array_join(
+        F.transform(
+            F.split(pts, ",\\s*"),
+            lambda p: F.concat(
+                F.lit("["), F.regexp_replace(F.trim(p), " +", ","), F.lit("]")
+            ),
+        ),
+        ",",
+    )
+
+
 def to_esri_json(
     df: DataFrame,
     geom_col: str = "shape",
@@ -171,11 +184,13 @@ def to_esri_json(
     out_col: str = "esri_json",
 ) -> DataFrame:
     """T6 second half (ref: ago/ago.py:954-1008 convert_geometry →
-    ESRI JSON dicts; EMPTY → NaN/[]): EWKT POINT → ``{"x":…,"y":…}``,
-    single-ring POLYGON → ``{"rings":[[…]]}``, EMPTY/unsupported →
-    NULL — assembled with string/array column expressions, no UDF.
-    SRID comes from ``srid_col`` when given (so bad-SRID remap can run
-    first), else from the EWKT prefix."""
+    ESRI JSON dicts — its `rings` loop handles MULTI-ring polygons and
+    its `paths` branch LINESTRINGs; EMPTY → NaN/[]): EWKT POINT →
+    ``{"x":…,"y":…}``, POLYGON (any ring count, holes included) →
+    ``{"rings":[[…],[…]]}``, LINESTRING → ``{"paths":[[…]]}``,
+    EMPTY/unsupported → NULL — assembled with string/array column
+    expressions, no UDF. SRID comes from ``srid_col`` when given (so
+    bad-SRID remap can run first), else from the EWKT prefix."""
     g = F.col(geom_col)
     prefix_srid = F.regexp_extract(g, r"^SRID=(\d+);", 1)
     srid = (
@@ -184,28 +199,35 @@ def to_esri_json(
         else F.when(prefix_srid == "", "4326").otherwise(prefix_srid)
     )
     body = F.regexp_replace(g, r"^SRID=\d+;", "")
+    sr = F.concat(F.lit(',"spatialReference":{"wkid":'), srid, F.lit("}}"))
+
     xs = F.regexp_extract(body, r"^POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 1)
     ys = F.regexp_extract(body, r"^POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 2)
-    point_json = F.concat(
-        F.lit('{"x":'), xs, F.lit(',"y":'), ys,
-        F.lit(',"spatialReference":{"wkid":'), srid, F.lit("}}"),
+    point_json = F.concat(F.lit('{"x":'), xs, F.lit(',"y":'), ys, sr)
+
+    # 'POLYGON ((r1), (r2), ...)' → every parenthesized ring becomes
+    # one [[x,y],...] array — multi-ring (holes) included
+    rings_src = F.regexp_extract(body, r"^POLYGON\s*\((.*)\)\s*$", 1)
+    rings = F.split(
+        F.regexp_replace(F.regexp_replace(rings_src, r"^\s*\(", ""), r"\)\s*$", ""),
+        r"\)\s*,\s*\(",
     )
-    inner = F.regexp_extract(body, r"^POLYGON\s*\(\((.*)\)\)\s*$", 1)
-    ring = F.array_join(
-        F.transform(
-            F.split(inner, ",\\s*"),
-            lambda p: F.concat(F.lit("["), F.regexp_replace(F.trim(p), " +", ","), F.lit("]")),
-        ),
+    rings_json = F.array_join(
+        F.transform(rings, lambda r: F.concat(F.lit("["), _coords_json(r), F.lit("]"))),
         ",",
     )
-    poly_json = F.concat(
-        F.lit('{"rings":[['), ring, F.lit(']],"spatialReference":{"wkid":'), srid, F.lit("}}"),
+    poly_json = F.concat(F.lit('{"rings":['), rings_json, F.lit("]"), sr)
+
+    path_src = F.regexp_extract(body, r"^LINESTRING\s*\((.*)\)\s*$", 1)
+    line_json = F.concat(
+        F.lit('{"paths":[['), _coords_json(path_src), F.lit("]]"), sr
     )
     return df.withColumn(
         out_col,
         F.when(g.isNull() | body.rlike("EMPTY"), F.lit(None))
         .when(body.rlike(r"^POINT\s*\("), point_json)
         .when(body.rlike(r"^POLYGON\s*\(\("), poly_json)
+        .when(body.rlike(r"^LINESTRING\s*\("), line_json)
         .otherwise(F.lit(None)),
     )
 

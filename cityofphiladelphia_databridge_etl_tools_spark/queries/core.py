@@ -65,11 +65,12 @@ def cdc_upsert_state(spark, sf_dir):
 
 
 def cdc_replay_merge(spark, sf_dir):
-    """The FULL engine path: events→changes split into 4 LSN-window
-    microbatches, merged into a real LakeTable (commit log, buckets,
-    salting, tombstones), final state read back. The oracle is an
-    independent one-shot SQL replay — this is the engine's
-    final-state-equality gate on driver data."""
+    """The FULL engine lifecycle: events→changes split into 4
+    LSN-window microbatches, merged into a real LakeTable (commit log,
+    buckets, salting, tombstones), then COMPACTED (tombstone GC +
+    delta fold — maintenance must not change state), final state read
+    back. The oracle is an independent one-shot SQL replay — this is
+    the engine's final-state-equality gate on driver data."""
     from ..lake import LakeTable
     from pyspark.sql import types as T
 
@@ -84,6 +85,7 @@ def cdc_replay_merge(spark, sf_dir):
     for k in range(4):
         b = ch.filter((F.col("lsn") >= k * step) & (F.col("lsn") < (k + 1) * step))
         t.merge_batch(b, f"replay-{k}")
+    t.compact()
     return t.read().select("conv_id", "turn_idx", "role", "text", "ts", "lsn")
 
 
@@ -216,24 +218,36 @@ def cdc_except_diff(spark, sf_dir):
 
 
 def cdc_changelog_stats(spark, sf_dir):
-    """Lineage counts per op — A1 (count verification everywhere in
-    the reference; here via one aggregation, not recounts)."""
+    """Lineage counts + per-partition watermarks per op — A1 + A2/U7
+    in one aggregation (count verification everywhere in the
+    reference, plus the MAX(ts)/MAX(lsn) watermark cursor of
+    db2.py:596-655 / ago.py:1317-1329 — one pass, not recounts)."""
     ch = _as_changes(_events(spark, sf_dir))
     return ch.groupBy("op").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("conv_id").alias("n_convs"),
         F.min("lsn").alias("lsn_lo"),
         F.max("lsn").alias("lsn_hi"),
+        F.max("ts").alias("max_ts"),
     )
 
 
 # --------------------------------------------------------------- transforms
 def t_scrub_sanitize(spark, sf_dir):
-    """Vectorized text scrub — T3/T5 (null-byte scrub _cleanup.py:30-54,
-    AGO strip chars ago.py:436-474): lowercase, strip non-alnum,
-    collapse whitespace. regexp_replace is JVM-side codegen, replacing
-    the reference's 500-line sampling heuristic with an exact pass."""
-    d = _t(spark, sf_dir, "documents")
+    """Vectorized text scrub + remote-upload cleanup — T3/T5/T11 in
+    one pass (null-byte scrub _cleanup.py:30-54, AGO strip chars
+    ago.py:436-474): lowercase/strip-non-alnum/collapse-whitespace
+    (clean_*) AND the clean_for_remote operator on text salted with
+    non-ascii + '\"<> characters (remote_*). regexp_replace is
+    JVM-side codegen, replacing the reference's 500-line sampling
+    heuristic with an exact pass."""
+    from ..operators.transforms import clean_for_remote
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.concat(F.col("text"), F.lit(' <"é"> ')).alias("remote_text"),
+    )
+    d = clean_for_remote(d, ["remote_text"])
     clean = F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
     )
@@ -241,6 +255,8 @@ def t_scrub_sanitize(spark, sf_dir):
         "doc_id",
         clean.alias("clean_text"),
         F.length(clean).alias("clean_len"),
+        "remote_text",
+        F.length("remote_text").alias("remote_len"),
     )
 
 
@@ -284,18 +300,27 @@ def t_surrogate_key(spark, sf_dir):
 
 
 def _synthetic_geoms(spark, sf_dir):
-    """Deterministic EWKT shapes derived from doc_id (testdata has no
-    geometry column; integer-only coordinates keep string rendering
-    identical across engines)."""
+    """Deterministic EWKT shapes derived from doc_id — POINT,
+    single-ring POLYGON, TWO-ring POLYGON (hole), LINESTRING, EMPTY —
+    so the geometry gates cover every branch the reference's
+    convert_geometry handles (ago/ago.py:954-1008 rings/paths).
+    Integer-only coordinates keep string rendering identical across
+    engines; testdata has no geometry column."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     x = (F.col("doc_id") % 360 - 180).cast("long").cast("string")
     y = (F.col("doc_id") % 180 - 90).cast("long").cast("string")
     shape = (
-        F.when(F.col("doc_id") % 3 == 0,
+        F.when(F.col("doc_id") % 5 == 0,
                F.concat(F.lit("SRID=300001;POINT ("), x, F.lit(" "), y, F.lit(")")))
-        .when(F.col("doc_id") % 3 == 1,
+        .when(F.col("doc_id") % 5 == 1,
               F.concat(F.lit("SRID=4326;POLYGON ((0 0, "), x, F.lit(" 0, "), x,
                        F.lit(" "), y, F.lit(", 0 0))")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("SRID=4326;POLYGON ((0 0, "), x, F.lit(" 0, "), x,
+                       F.lit(" "), y, F.lit(", 0 0), (1 1, 2 1, 2 2, 1 1))")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("SRID=4326;LINESTRING (0 0, "), x, F.lit(" "), y,
+                       F.lit(", "), x, F.lit(" 0)")))
         .otherwise(F.lit("SRID=4326;MULTIPOINT EMPTY"))
     )
     return d.withColumn("shape", shape)
@@ -305,8 +330,10 @@ _GEOM_SQL = """
   geoms AS (
     SELECT doc_id,
       CASE
-        WHEN doc_id % 3 = 0 THEN 'SRID=300001;POINT (' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' ' || CAST(doc_id % 180 - 90 AS VARCHAR) || ')'
-        WHEN doc_id % 3 = 1 THEN 'SRID=4326;POLYGON ((0 0, ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' 0, ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' ' || CAST(doc_id % 180 - 90 AS VARCHAR) || ', 0 0))'
+        WHEN doc_id % 5 = 0 THEN 'SRID=300001;POINT (' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' ' || CAST(doc_id % 180 - 90 AS VARCHAR) || ')'
+        WHEN doc_id % 5 = 1 THEN 'SRID=4326;POLYGON ((0 0, ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' 0, ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' ' || CAST(doc_id % 180 - 90 AS VARCHAR) || ', 0 0))'
+        WHEN doc_id % 5 = 2 THEN 'SRID=4326;POLYGON ((0 0, ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' 0, ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' ' || CAST(doc_id % 180 - 90 AS VARCHAR) || ', 0 0), (1 1, 2 1, 2 2, 1 1))'
+        WHEN doc_id % 5 = 3 THEN 'SRID=4326;LINESTRING (0 0, ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' ' || CAST(doc_id % 180 - 90 AS VARCHAR) || ', ' || CAST(doc_id % 360 - 180 AS VARCHAR) || ' 0)'
         ELSE 'SRID=4326;MULTIPOINT EMPTY' END AS shape
     FROM documents
   )
@@ -314,14 +341,19 @@ _GEOM_SQL = """
 
 
 def t_geometry_promote(spark, sf_dir):
-    """T1+T7+T9 chained (ref: postgres.py:146-201 multi-promotion,
-    opendata.py:119-209 SRID handling): extract SRID, remap bad codes,
-    promote POLYGON→MULTIPOLYGON."""
+    """T1+T7+T8+T9 chained (ref: postgres.py:146-201 multi-promotion,
+    opendata.py:119-209 SRID handling, opendata.py:186-244 point
+    cutout): extract SRID, remap bad codes, promote
+    POLYGON→MULTIPOLYGON, and split POINTs into lat/lng doubles
+    (EMPTY/non-point → nulls)."""
     from ..operators import transforms as TR
 
     g = _synthetic_geoms(spark, sf_dir)
     out = TR.promote_multi_geometry(TR.remap_bad_srid(TR.extract_srid(g)))
-    return out.select("doc_id", "srid", "shape")
+    # point_to_lat_lng consumes (drops) its geometry column; feed it a
+    # copy so the promoted shape stays in the output
+    out = TR.point_to_lat_lng(out.withColumn("_pt", F.col("shape")), geom_col="_pt")
+    return out.select("doc_id", "srid", "shape", "lat", "lng")
 
 
 def t_point_latlng(spark, sf_dir):
@@ -469,20 +501,26 @@ def s_paged_rest(spark, sf_dir):
 
 
 def t_parse_datetime(spark, sf_dir):
-    """T12 (ref: knack/knack.py:120-135 '%m/%d/%Y %I:%M %p'): parse
-    source-format datetime strings (rendered from the events fixture,
-    so the roundtrip is exact to the minute)."""
+    """T12 + T4 chained (ref: knack/knack.py:120-135
+    '%m/%d/%Y %I:%M %p' parse; postgres.py:327-341 US/Eastern
+    localize): parse source-format datetime strings (rendered from the
+    events fixture, so the roundtrip is exact to the minute), shift to
+    a fixed-offset local time, histogram the local hours."""
     from ..operators.transforms import parse_source_datetime
 
     ev = _events(spark, sf_dir).select(
-        "event_type",
         F.date_format(F.col("ts").cast("timestamp"), "MM/dd/yyyy hh:mm a").alias("raw"),
     )
     parsed = parse_source_datetime(ev.withColumn("parsed", F.col("raw")), ["parsed"])
-    return parsed.groupBy("event_type").agg(
-        F.count("parsed").alias("n_parsed"),
-        F.min("parsed").alias("min_ts"),
-        F.max("parsed").alias("max_ts"),
+    local = F.col("parsed") + F.expr("INTERVAL 5 HOURS")
+    return (
+        parsed.select(F.hour(local).alias("local_hour"), "parsed")
+        .groupBy("local_hour")
+        .agg(
+            F.count("parsed").alias("n_parsed"),
+            F.min("parsed").alias("min_ts"),
+            F.max("parsed").alias("max_ts"),
+        )
     )
 
 
@@ -746,7 +784,6 @@ CORE_REGISTRY = {
         """,
     ),
     "cdc_replay_merge": (cdc_replay_merge, _FINAL_STATE_SQL),
-    "cdc_compacted_state": (cdc_compacted_state, _FINAL_STATE_SQL),
     "cdc_schema_evolution": (
         cdc_schema_evolution,
         f"""
@@ -807,15 +844,6 @@ CORE_REGISTRY = {
         GROUP BY event_type
         """,
     ),
-    "cdc_watermark": (
-        cdc_watermark,
-        """
-        SELECT event_type, max(ts) AS max_ts,
-               CAST(max(event_id) AS BIGINT) AS max_lsn,
-               CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY event_type
-        """,
-    ),
     "cdc_except_diff": (
         cdc_except_diff,
         """
@@ -833,25 +861,26 @@ CORE_REGISTRY = {
         WITH c AS ({_CHANGES_SQL})
         SELECT op, CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
-               CAST(min(lsn) AS BIGINT) AS lsn_lo, CAST(max(lsn) AS BIGINT) AS lsn_hi
+               CAST(min(lsn) AS BIGINT) AS lsn_lo, CAST(max(lsn) AS BIGINT) AS lsn_hi,
+               max(ts) AS max_ts
         FROM c GROUP BY op
         """,
     ),
     "t_scrub_sanitize": (
         t_scrub_sanitize,
         """
+        WITH c AS (
+          SELECT doc_id, text,
+                 NULLIF(regexp_replace(text || ' <"é"> ',
+                        '[^\\x20-\\x7E]|[''"<>]', '', 'g'), '') AS remote_text
+          FROM documents
+        )
         SELECT doc_id,
                regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS clean_text,
-               CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS clean_len
-        FROM documents
-        """,
-    ),
-    "t_tz_shift": (
-        t_tz_shift,
-        """
-        SELECT CAST(extract(hour FROM ts + INTERVAL 5 HOUR) AS INT) AS local_hour,
-               CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY 1
+               CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS clean_len,
+               remote_text,
+               CAST(length(remote_text) AS INT) AS remote_len
+        FROM c
         """,
     ),
     "t_json_extract": (
@@ -883,34 +912,24 @@ CORE_REGISTRY = {
                  regexp_extract(shape, '^(SRID=\\d+;)', 1) AS pfx,
                  regexp_replace(shape, '^SRID=\\d+;', '') AS body
           FROM geoms
+        ),
+        pt AS (
+          SELECT doc_id,
+                 regexp_extract(body, '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 1) AS xs,
+                 regexp_extract(body, '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 2) AS ys
+          FROM e
         )
-        SELECT doc_id,
+        SELECT e.doc_id,
                CASE WHEN srid0 = 300001 THEN 2272 ELSE srid0 END AS srid,
                pfx || CASE
                  WHEN regexp_matches(body, '^POLYGON\\s*\\(')
                    THEN 'MULTIPOLYGON (' || regexp_replace(body, '^POLYGON\\s*', '') || ')'
                  WHEN regexp_matches(body, '^LINESTRING\\s*\\(')
                    THEN 'MULTILINESTRING (' || regexp_replace(body, '^LINESTRING\\s*', '') || ')'
-                 ELSE body END AS shape
-        FROM e
-        """,
-    ),
-    "t_point_latlng": (
-        t_point_latlng,
-        f"""
-        WITH {_GEOM_SQL},
-        e AS (
-          SELECT doc_id,
-                 regexp_extract(regexp_replace(shape, '^SRID=\\d+;', ''),
-                                '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 1) AS xs,
-                 regexp_extract(regexp_replace(shape, '^SRID=\\d+;', ''),
-                                '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 2) AS ys
-          FROM geoms
-        )
-        SELECT doc_id,
-               CASE WHEN ys = '' THEN NULL ELSE CAST(ys AS DOUBLE) END AS lat,
-               CASE WHEN xs = '' THEN NULL ELSE CAST(xs AS DOUBLE) END AS lng
-        FROM e
+                 ELSE body END AS shape,
+               CASE WHEN pt.ys = '' THEN NULL ELSE CAST(pt.ys AS DOUBLE) END AS lat,
+               CASE WHEN pt.xs = '' THEN NULL ELSE CAST(pt.xs AS DOUBLE) END AS lng
+        FROM e JOIN pt ON pt.doc_id = e.doc_id
         """,
     ),
     "t_esri_json": (
@@ -929,7 +948,10 @@ CORE_REGISTRY = {
                  CAST(CASE WHEN srid0 = 300001 THEN 2272 ELSE srid0 END AS VARCHAR) AS srid,
                  regexp_extract(body, '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 1) AS xs,
                  regexp_extract(body, '^POINT\\s*\\(\\s*(-?[\\d.]+)\\s+(-?[\\d.]+)\\s*\\)', 2) AS ys,
-                 regexp_extract(body, '^POLYGON\\s*\\(\\((.*)\\)\\)\\s*$', 1) AS ring_src
+                 regexp_replace(regexp_replace(
+                   regexp_extract(body, '^POLYGON\\s*\\((.*)\\)\\s*$', 1),
+                   '^\\s*\\(', ''), '\\)\\s*$', '') AS rings_src,
+                 regexp_extract(body, '^LINESTRING\\s*\\((.*)\\)\\s*$', 1) AS path_src
           FROM e
         )
         SELECT doc_id,
@@ -938,24 +960,22 @@ CORE_REGISTRY = {
             WHEN regexp_matches(body, '^POINT\\s*\\(')
               THEN '{{"x":' || xs || ',"y":' || ys || ',"spatialReference":{{"wkid":' || srid || '}}}}'
             WHEN regexp_matches(body, '^POLYGON\\s*\\(\\(')
-              THEN '{{"rings":[[' ||
-                   array_to_string(list_transform(string_split(ring_src, ', '),
-                                   p -> '[' || replace(p, ' ', ',') || ']'), ',')
+              THEN '{{"rings":[' ||
+                   array_to_string(list_transform(
+                     regexp_split_to_array(rings_src, '\\)\\s*,\\s*\\('),
+                     r -> '[' || array_to_string(list_transform(
+                            regexp_split_to_array(r, ',\\s*'),
+                            p -> '[' || replace(trim(p), ' ', ',') || ']'), ',') || ']'),
+                   ',')
+                   || '],"spatialReference":{{"wkid":' || srid || '}}}}'
+            WHEN regexp_matches(body, '^LINESTRING\\s*\\(')
+              THEN '{{"paths":[[' ||
+                   array_to_string(list_transform(
+                     regexp_split_to_array(path_src, ',\\s*'),
+                     p -> '[' || replace(trim(p), ' ', ',') || ']'), ',')
                    || ']],"spatialReference":{{"wkid":' || srid || '}}}}'
             ELSE NULL END AS esri_json
         FROM r
-        """,
-    ),
-    "t_clean_remote": (
-        t_clean_remote,
-        """
-        WITH c AS (
-          SELECT doc_id,
-                 NULLIF(regexp_replace(text || ' <"é"> ',
-                        '[^\\x20-\\x7E]|[''"<>]', '', 'g'), '') AS text
-          FROM documents
-        )
-        SELECT doc_id, text, CAST(length(text) AS INT) AS clean_len FROM c
         """,
     ),
     "t_batch_enrich": (
@@ -1089,14 +1109,16 @@ CORE_REGISTRY = {
     "t_parse_datetime": (
         t_parse_datetime,
         """
-        SELECT event_type,
-               CAST(count(strptime(strftime(ts, '%m/%d/%Y %I:%M %p'),
-                                   '%m/%d/%Y %I:%M %p')) AS BIGINT) AS n_parsed,
-               min(strptime(strftime(ts, '%m/%d/%Y %I:%M %p'),
-                            '%m/%d/%Y %I:%M %p')) AS min_ts,
-               max(strptime(strftime(ts, '%m/%d/%Y %I:%M %p'),
-                            '%m/%d/%Y %I:%M %p')) AS max_ts
-        FROM events GROUP BY event_type
+        WITH p AS (
+          SELECT strptime(strftime(ts, '%m/%d/%Y %I:%M %p'),
+                          '%m/%d/%Y %I:%M %p') AS parsed
+          FROM events
+        )
+        SELECT CAST(extract(hour FROM parsed + INTERVAL 5 HOUR) AS INT) AS local_hour,
+               CAST(count(parsed) AS BIGINT) AS n_parsed,
+               min(parsed) AS min_ts,
+               max(parsed) AS max_ts
+        FROM p GROUP BY 1
         """,
     ),
     "stream_session_counts": (
@@ -1200,22 +1222,6 @@ CORE_REGISTRY = {
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
                CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
         FROM j GROUP BY event_type
-        """,
-    ),
-    "asof_last_signup": (
-        asof_last_signup,
-        """
-        WITH a AS (
-          SELECT event_type,
-                 max(CASE WHEN event_type = 'signup' THEN ts END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS last_signup_ts
-          FROM events
-        )
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               CAST(count(last_signup_ts) AS BIGINT) AS n_with_signup,
-               max(last_signup_ts) AS max_signup_ts
-        FROM a GROUP BY event_type
         """,
     ),
 }

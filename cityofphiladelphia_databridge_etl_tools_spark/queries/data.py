@@ -296,28 +296,6 @@ DATA_REGISTRY = {
         FROM r WHERE rank <= 5
         """,
     ),
-    "ann_lsh_bucket_hist": (
-        ann_lsh_bucket_hist,
-        """
-        WITH d AS (
-          SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS val
-          FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-        ),
-        pl AS (SELECT unnest(generate_series(0, 7)) AS p),
-        s AS (
-          SELECT vec_id, p,
-                 sum(val * CASE WHEN strpos('0123456789abcdef',
-                        substr(md5(concat_ws('_', p, i - 1)), 1, 1)) - 1 >= 8
-                      THEN 1.0 ELSE -1.0 END) AS s
-          FROM d, pl GROUP BY vec_id, p
-        ),
-        b AS (
-          SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS INT) AS bucket
-          FROM s GROUP BY vec_id
-        )
-        SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY bucket
-        """,
-    ),
     # full SQL oracle: the md5-derived hyperplanes are deterministic,
     # so bucket assignment, the multi-table candidate union, and the
     # cosine re-rank are all reproducible in DuckDB (recall vs brute

@@ -50,7 +50,8 @@ def main():
     print(f"staged {n:,} events in {time.time()-t0:.1f}s")
 
     t = LakeTable.create(spark, f"{root}/t", TRANSCRIPT_SCHEMA,
-                         ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=32)
+                         ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=32,
+                         bucket_columns=["conv_id"])
     runner = LsnWindowRunner(
         t, lambda lo, hi: spark.read.parquet(f"{root}/in/b{lo // BATCH}"),
         events_per_batch=BATCH,

@@ -25,6 +25,8 @@ def assert_df_equal(a, b):
 
 
 def make_table(spark, tmp_path, n_buckets=8):
+    # conversation-locality mode: bucket by conv_id only (a pure
+    # function of the key prefix) so entity reads stay single-bucket
     return LakeTable.create(
         spark,
         str(tmp_path / "transcripts"),
@@ -32,6 +34,7 @@ def make_table(spark, tmp_path, n_buckets=8):
         key_columns=["conv_id", "turn_idx"],
         order_columns=["ts", "lsn"],
         n_buckets=n_buckets,
+        bucket_columns=["conv_id"],
     )
 
 
@@ -566,3 +569,89 @@ def test_changes_since_with_string_order_stats_does_not_raise(spark, tmp_path):
     assert any(isinstance(h, str) for h in his)
     paths = t._files_newer_than(m, 0)
     assert sum(len(v) for v in paths.values()) == len(his)  # nothing skipped
+
+
+def test_composite_bucketing_spreads_low_cardinality_first_key(spark, tmp_path):
+    """Default bucketing hashes ALL key columns: a table whose FIRST
+    key column has 2 distinct values (e.g. dept) must still spread
+    over (nearly) all buckets, not collapse into 2 — the round-2
+    failure mode of keys[0]-only hashing."""
+    schema = T.StructType([
+        T.StructField("dept", T.StringType(), False),
+        T.StructField("emp_id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         key_columns=["dept", "emp_id"], order_columns=["lsn"],
+                         n_buckets=16)
+    assert t.manifest.effective_bucket_columns == ["dept", "emp_id"]
+    rows = [(("eng" if i % 2 else "ops"), i, f"v{i}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "dept string, emp_id long, v string, lsn long")
+    t.merge_batch(df.withColumn("op", F.lit("I")), "b0")
+    m = t.manifest
+    assert len(m.bucket_files) >= 12, f"collapsed into {len(m.bucket_files)} buckets"
+    # full-key point lookup: driver-side hash, single pruned bucket
+    got = t.read_key(("eng", 1001)).collect()
+    assert len(got) == 1 and got[0]["v"] == "v1001"
+    # dict form and wrong-arity validation
+    assert t.read_key({"dept": "ops", "emp_id": 1000}).count() == 1
+    with pytest.raises(ValueError, match="one value per bucket column"):
+        t.read_key("eng")
+
+
+def test_rebucket_migrates_to_composite_bucket_columns(spark, tmp_path):
+    """rebucket(n, bucket_columns=...) is the migration path from
+    legacy single-column bucketing to composite hashing: state is
+    unchanged, pruning and merges keep working under the new
+    function."""
+    t = make_table(spark, tmp_path, n_buckets=4)  # bucket_columns=["conv_id"]
+    stream = changegen.changes(spark, 1200, seed=87)
+    t.merge_batch(stream.filter(F.col("lsn") < 800), "b0")
+    before = t.read()
+    t.rebucket(8, bucket_columns=["conv_id", "turn_idx"])
+    m = t.manifest
+    assert m.n_buckets == 8 and m.effective_bucket_columns == ["conv_id", "turn_idx"]
+    assert_df_equal(t.read(), before)
+    # point lookup now takes the full composite key
+    r = before.first()
+    got = t.read_key((r["conv_id"], r["turn_idx"])).collect()
+    assert len(got) == 1 and got[0]["text"] == r["text"]
+    # merges continue under the new function; final state matches oracle
+    t.merge_batch(stream.filter(F.col("lsn") >= 800), "b1")
+    assert_df_equal(t.read(), changegen.expected_final_state(stream))
+
+
+def test_driver_side_hash_matches_spark_xxhash64(spark):
+    """lake/keyhash.py must agree with F.xxhash64 BIT-FOR-BIT on the
+    key types tables use (string, int-family, long) and on multi-column
+    seed chaining — otherwise read_key prunes to the wrong bucket."""
+    import random
+    import string as _string
+
+    from cityofphiladelphia_databridge_etl_tools_spark.lake.keyhash import xxhash64
+
+    random.seed(99)
+    rows = [
+        (
+            "".join(random.choices(_string.printable + "é¢€漢", k=random.randint(0, 80))),
+            random.randint(-2**31, 2**31 - 1),
+            random.randint(-2**62, 2**62),
+        )
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("l", T.LongType()),
+    ]))
+    got = df.select(
+        "s", "i", "l",
+        F.xxhash64("s").alias("hs"), F.xxhash64("i").alias("hi"),
+        F.xxhash64("l").alias("hl"), F.xxhash64("s", "i", "l").alias("hm"),
+    ).collect()
+    for r in got:
+        assert xxhash64(r["s"]) == r["hs"]
+        assert xxhash64(("int", r["i"])) == r["hi"]
+        assert xxhash64(r["l"]) == r["hl"]
+        assert xxhash64(r["s"], ("int", r["i"]), r["l"]) == r["hm"]

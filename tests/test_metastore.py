@@ -6,6 +6,7 @@ import time
 
 import pytest
 
+from cityofphiladelphia_databridge_etl_tools_spark.lake.fs import InMemoryObjectStore
 from cityofphiladelphia_databridge_etl_tools_spark.lake.manifest import (
     CommitRecord,
     ConcurrentCommitError,
@@ -14,6 +15,26 @@ from cityofphiladelphia_databridge_etl_tools_spark.lake.manifest import (
     MetaStore,
     SchemaVersion,
 )
+
+
+@pytest.fixture(params=["local", "object_store"])
+def mk_store(request, tmp_path):
+    """Every metadata test runs twice: once on POSIX (LocalFS), once on
+    the conditional-PUT object-store double — proving the FileSystem
+    seam is real (an S3/GCS impl only maps these six calls to HTTP)."""
+    if request.param == "local":
+        def mk(**kw):
+            return MetaStore(str(tmp_path / "t"), **kw)
+    else:
+        shared = InMemoryObjectStore()  # one "bucket" shared by all writers
+
+        def mk(**kw):
+            return MetaStore("mem://bucket/t", fs=shared, **kw)
+    return mk
+
+
+def snap_bytes(store, version):
+    return len(store.fs.read_text(store.snapshot_path(version)))
 
 
 def base_manifest(n_buckets=8):
@@ -45,12 +66,12 @@ def make_delta(v, n_entries=8):
     )
 
 
-def test_commit_cost_flat_in_table_age(tmp_path):
+def test_commit_cost_flat_in_table_age(mk_store):
     """The round-1 design serialized the FULL state per commit —
     O(files+commits), linear decay with table age. The log design
     serializes only the diff: the 450th commit must cost about the
     same as the 5th (snapshot commits amortize at 1/interval)."""
-    store = MetaStore(str(tmp_path / "t"))
+    store = mk_store()
     store.commit(base_manifest())
     m = store.read_current()
     times = []
@@ -67,12 +88,12 @@ def test_commit_cost_flat_in_table_age(tmp_path):
     assert late < early * 5, f"commit cost grew with table age: {early} -> {late}"
 
 
-def test_crash_after_delta_before_hint_recovers(tmp_path):
+def test_crash_after_delta_before_hint_recovers(mk_store):
     """The delta record IS the commit: a writer that died after
     creating delta-N but before updating the CURRENT hint loses
     nothing, and no wedge state exists (the round-1 pointer-flip
     design wedged here)."""
-    store = MetaStore(str(tmp_path / "t"))
+    store = mk_store()
     store.commit(base_manifest())
     m = store.read_current()
     for v in (1, 2):
@@ -81,13 +102,13 @@ def test_crash_after_delta_before_hint_recovers(tmp_path):
     assert store.fs.create_exclusive(store.delta_path(3), make_delta(3).to_json())
     assert store.fs.read_text(store.current_path).strip() == "2"  # hint lags
 
-    fresh = MetaStore(str(tmp_path / "t"))  # new process, cold cache
+    fresh = mk_store()  # new process, cold cache
     got = fresh.read_current()
     assert got.version == 3
     assert "b3" in got.applied_batch_ids  # the torn commit is visible
     # replaying b3's position loses the CAS — no infinite-retry wedge
     with pytest.raises(ConcurrentCommitError):
-        two = MetaStore(str(tmp_path / "t"))
+        two = mk_store()
         two._cache = m.copy()  # stale view at version 2, as the crashed writer's retry would have
         two.commit_delta(m, make_delta(3))
     # and the standard recovery (reload, next position) succeeds
@@ -95,10 +116,10 @@ def test_crash_after_delta_before_hint_recovers(tmp_path):
     assert fresh.read_current().version == 4
 
 
-def test_cas_exactly_one_winner(tmp_path):
-    store_a = MetaStore(str(tmp_path / "t"))
+def test_cas_exactly_one_winner(mk_store):
+    store_a = mk_store()
     store_a.commit(base_manifest())
-    store_b = MetaStore(str(tmp_path / "t"))
+    store_b = mk_store()
     ma, mb = store_a.read_current(), store_b.read_current()
     store_a.commit_delta(ma, make_delta(1))
     with pytest.raises(ConcurrentCommitError):
@@ -110,8 +131,8 @@ def test_cas_exactly_one_winner(tmp_path):
     assert store_a.read_current().version == 2
 
 
-def test_time_travel_and_expire_log(tmp_path):
-    store = MetaStore(str(tmp_path / "t"), snapshot_interval=16)
+def test_time_travel_and_expire_log(mk_store):
+    store = mk_store(snapshot_interval=16)
     store.commit(base_manifest())
     m = store.read_current()
     for v in range(1, 41):
@@ -125,15 +146,15 @@ def test_time_travel_and_expire_log(tmp_path):
         int(p.rsplit("-", 1)[1][:9]) < 16 for p in removed
     )
     # current state and post-horizon travel unaffected
-    fresh = MetaStore(str(tmp_path / "t"))
+    fresh = mk_store()
     assert fresh.read_current().version == 40
     assert fresh.read_version(20).version == 20
     with pytest.raises(FileNotFoundError):
         fresh.read_version(10)  # behind the horizon
 
 
-def test_reader_mutation_cannot_corrupt_cache(tmp_path):
-    store = MetaStore(str(tmp_path / "t"))
+def test_reader_mutation_cannot_corrupt_cache(mk_store):
+    store = mk_store()
     store.commit(base_manifest())
     m = store.commit_delta(store.read_current(), make_delta(1))
     m.version = 999  # hostile caller
@@ -151,12 +172,12 @@ def lsn_delta(v, lo, hi):
     )
 
 
-def test_lsn_windows_tracked_structurally_and_ids_bounded(tmp_path):
+def test_lsn_windows_tracked_structurally_and_ids_bounded(mk_store):
     """lsn-window batch ids keep exactly-once over UNBOUNDED table age
     through the contiguous-prefix cursor + out-of-order tail, while
     arbitrary ids use the bounded recent window — so the manifest never
     accumulates one string per commit forever."""
-    store = MetaStore(str(tmp_path / "t"), id_retention=5)
+    store = mk_store(id_retention=5)
     store.commit(base_manifest())
     m = store.read_current()
     # out-of-order pipelined commits: 0-10 committed, 20-30 committed,
@@ -180,19 +201,17 @@ def test_lsn_windows_tracked_structurally_and_ids_bounded(tmp_path):
     # lsn ids survive aging: structural, not list-membership
     assert "lsn-0-10" in m.applied_batch_ids
     # cold reload reconstructs the cursor from the log/snapshot
-    fresh = MetaStore(str(tmp_path / "t"), id_retention=5)
+    fresh = mk_store(id_retention=5)
     fm = fresh.read_current()
     assert fm.lsn_contig_hi == 30 and "lsn-20-30" in fm.applied_batch_ids
 
 
-def test_snapshot_size_and_cold_read_flat_in_commit_count(tmp_path):
+def test_snapshot_size_and_cold_read_flat_in_commit_count(mk_store):
     """With constant live-file state, snapshot bytes and cold
     read_current() latency must be FLAT in total commits: bounded
     applied_ids/commits plus structure-shared bucket_files mean no
     O(total-commits) residue accumulates in the materialized state."""
-    store = MetaStore(
-        str(tmp_path / "t"), snapshot_interval=32, commit_retention=50, id_retention=100
-    )
+    store = mk_store(snapshot_interval=32, commit_retention=50, id_retention=100)
     store.commit(base_manifest())
     m = store.read_current()
 
@@ -207,15 +226,14 @@ def test_snapshot_size_and_cold_read_flat_in_commit_count(tmp_path):
         )
 
     sizes = {}
-    import os as _os
     for v in range(1, 1201):
         m = store.commit_delta(m, replace_delta(v))
         if v in (96, 1184):  # both are snapshot versions (32*k)
-            sizes[v] = _os.path.getsize(store.snapshot_path(v))
+            sizes[v] = snap_bytes(store, v)
     assert sizes[1184] < sizes[96] * 1.5, f"snapshot grew with age: {sizes}"
 
     def cold_read():
-        s2 = MetaStore(str(tmp_path / "t"), commit_retention=50, id_retention=100)
+        s2 = mk_store(commit_retention=50, id_retention=100)
         t0 = time.perf_counter()
         s2.read_current()
         return time.perf_counter() - t0

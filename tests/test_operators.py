@@ -363,3 +363,59 @@ def test_simhash_similar_docs_close(spark):
     def hamming(a, b):
         return bin(a ^ b).count("1")
     assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """The large-star/small-star alternation must converge in O(log n)
+    ROUNDS on a pathological 10k-node chain — the case where min-label
+    propagation needs O(diameter)=10k sequential jobs. This is the
+    100-TB guard: round count IS the number of sequential Spark jobs a
+    giant near-dup component costs."""
+    import math
+
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 10_000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    stats = {}
+    out = connected_components(chain, stats=stats)
+    assert out.where("cluster_id = 0").count() == n + 1  # one component, min root
+    bound = 2 * math.ceil(math.log2(n))  # generous: measured ~log2(n)+2
+    assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
+
+
+def test_to_esri_json_multiring_and_linestring(spark):
+    """T6 publish completeness (ref ago/ago.py:954-1008): multi-ring
+    polygons (holes) emit one rings array per ring; LINESTRINGs emit
+    paths; points/EMPTY unchanged from the single-shape cases."""
+    import json as _json
+
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.transforms import (
+        to_esri_json,
+    )
+
+    rows = [
+        (1, "SRID=2272;POINT (10 20)"),
+        (2, "SRID=4326;POLYGON ((0 0, 4 0, 4 4, 0 0))"),
+        (3, "SRID=4326;POLYGON ((0 0, 8 0, 8 8, 0 0), (1 1, 2 1, 2 2, 1 1))"),
+        (4, "SRID=4326;LINESTRING (0 0, 3 4, 6 0)"),
+        (5, "SRID=4326;MULTIPOINT EMPTY"),
+    ]
+    df = spark.createDataFrame(rows, "id long, shape string")
+    out = {r["id"]: r["esri_json"] for r in to_esri_json(df).collect()}
+    assert _json.loads(out[1]) == {"x": 10, "y": 20, "spatialReference": {"wkid": 2272}}
+    assert _json.loads(out[2])["rings"] == [[[0, 0], [4, 0], [4, 4], [0, 0]]]
+    got3 = _json.loads(out[3])
+    assert got3["rings"] == [
+        [[0, 0], [8, 0], [8, 8], [0, 0]],
+        [[1, 1], [2, 1], [2, 2], [1, 1]],
+    ]
+    assert _json.loads(out[4]) == {
+        "paths": [[[0, 0], [3, 4], [6, 0]]],
+        "spatialReference": {"wkid": 4326},
+    }
+    assert out[5] is None

@@ -126,7 +126,9 @@ def test_bucket_pruned_read_lists_only_touched_files(spark, tmp_path):
     assert n_files_pruned < n_files_total
     # the pruned read returns exactly the rows whose key hashes there
     from cityofphiladelphia_databridge_etl_tools_spark.operators.merge import bucket_expr
-    expect = full.filter(bucket_expr("conv_id", 8) == some_bucket)
+    expect = full.filter(
+        bucket_expr(t.manifest.effective_bucket_columns, 8) == some_bucket
+    )
     assert pruned.count() == expect.count()
 
 

@@ -20,6 +20,7 @@ def make_table(spark, tmp_path, n_buckets=8):
     return LakeTable.create(
         spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
         ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=n_buckets,
+        bucket_columns=["conv_id"],
     )
 
 
@@ -84,10 +85,17 @@ def test_read_key_point_lookup_prunes_to_one_bucket(spark, tmp_path):
         return orig_read(buckets=buckets, **kw)
 
     t.read = spy
+    orig_range = t.spark.range
+
+    def no_jobs(*a, **k):
+        raise AssertionError("read_key must not launch an auxiliary Spark job")
+
+    t.spark.range = no_jobs  # driver-side hash only (lake/keyhash.py)
     try:
         got = t.read_key(some_key, extra_filter=F.col("turn_idx") >= 0).collect()
     finally:
         t.read = orig_read
+        t.spark.range = orig_range
     assert len(seen["buckets"]) == 1
     expect = t.read().filter(F.col("conv_id") == some_key).collect()
     assert sorted(r["turn_idx"] for r in got) == sorted(r["turn_idx"] for r in expect)
@@ -132,6 +140,7 @@ def test_hot_key_salting_spreads_files(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
         ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8,
+        bucket_columns=["conv_id"],
     )
     # every event hits conv 0; batch large enough that AQE's
     # small-partition coalescing (which rightly folds tiny test
