@@ -16,7 +16,7 @@ Semantics sources in the reference:
 - SCN watermark RUNNING→FINISHED resume cursor (db2/db2.py:596-655)
 """
 
-from .fs import FileSystem, LocalFS  # noqa: F401
+from .fs import FileSystem, InMemoryObjectStore, LocalFS  # noqa: F401
 from .manifest import (  # noqa: F401
     CommitRecord,
     ConcurrentCommitError,
@@ -25,4 +25,5 @@ from .manifest import (  # noqa: F401
     MetaStore,
     SchemaVersion,
 )
+from .maintenance import CompactionScheduler  # noqa: F401
 from .table import LakeTable  # noqa: F401

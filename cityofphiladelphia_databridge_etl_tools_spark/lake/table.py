@@ -526,6 +526,7 @@ class LakeTable:
         n_salt: int = 4,
         pre_clustered: bool = False,
         sort_by: list[str] | None = None,
+        drop_after_sort: list[str] | None = None,
     ) -> tuple[dict[str, list], dict[str, int]]:
         """Write rows (must carry _bucket) as per-bucket parquet under
         snap_rel, then collect per-file stats (row count, order-column
@@ -544,12 +545,25 @@ class LakeTable:
         keys = m.key_columns
         if pre_clustered:
             out = df  # already exchanged+sorted by (_bucket, _salt, keys)
+        elif sort_by:
+            # layout-optimizing rewrite (compaction): RANGE-partition on
+            # the sort key so each file owns a DISJOINT key range —
+            # that's what makes file-level min/max stats actually prune
+            # (hash-salted partitions would each span the full range).
+            out = df.repartitionByRange(
+                F.col("_bucket"), *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions("_bucket", *sort_by)
+            if drop_after_sort:
+                # computed sort keys (e.g. the Z-order column) order the
+                # rows but are not table columns — project them away
+                # AFTER the sort (a projection keeps partition order)
+                out = out.drop(*drop_after_sort)
         else:
             out = (
                 df.withColumn("_salt", salt_expr(n_salt, *keys))
                 .repartition(F.col("_bucket"), F.col("_salt"))
                 .drop("_salt")
-                .sortWithinPartitions("_bucket", *(sort_by or keys))
+                .sortWithinPartitions("_bucket", *keys)
             )
         out.write.partitionBy("_bucket").parquet(snap_dir, mode="errorifexists")
 
@@ -558,8 +572,9 @@ class LakeTable:
         # file (one batch), so skipping is effective; key-column ranges
         # would not be (keys are hash-sprayed across files by design).
         oc = m.order_columns[-1]
+        stored = df.drop(*drop_after_sort).schema if drop_after_sort else df.schema
         try:
-            back = self.spark.read.schema(df.schema).parquet(snap_dir)
+            back = self.spark.read.schema(stored).parquet(snap_dir)
         except AnalysisException:
             # ONLY a genuinely absent path (a write whose every row was
             # filtered never creates the directory) maps to "no files
@@ -931,6 +946,7 @@ class LakeTable:
         force: bool = False,
         max_commit_retries: int = 3,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """Fold deltas into fresh base files for the given buckets (all
         by default) — the engine's VACUUM analogue (ref:
@@ -949,9 +965,15 @@ class LakeTable:
         ``sort_by`` re-sorts rows within each rewritten file (default:
         the merge keys) — compaction doubling as layout optimization:
         sort by a range-scanned column (e.g. ts) and parquet min/max
-        row-group stats prune range queries, the Z-ORDER-lite
-        equivalent for a single dimension. Read correctness is
-        unaffected (LWW resolution never depends on file order)."""
+        row-group stats prune range queries. ``zorder_by`` is the
+        MULTI-dimensional variant: rows sort by a Morton-interleaved
+        key over the given columns (operators/layout.py), so files
+        stay simultaneously narrow in every listed dimension — use
+        when two access patterns (e.g. time range AND entity) must
+        both prune. Read correctness is unaffected either way (LWW
+        resolution never depends on file order)."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         for _attempt in range(max_commit_retries):
             m = self.manifest
             targets = sorted(buckets) if buckets is not None else sorted(
@@ -995,8 +1017,15 @@ class LakeTable:
             )
             snap_rel = f"data/compact-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
             current_version = m.schema_versions[-1].version
+            drop_after = None
+            if zorder_by:
+                from ..operators.layout import with_zorder
+
+                df = with_zorder(df, zorder_by)
+                sort_by, drop_after = ["_zorder"], ["_zorder"]
             new_files, _ = self._write_snapshot(
-                df, snap_rel, current_version, BASE, m, sort_by=sort_by
+                df, snap_rel, current_version, BASE, m,
+                sort_by=sort_by, drop_after_sort=drop_after,
             )
             delta = LogDelta(
                 version=m.version + 1,

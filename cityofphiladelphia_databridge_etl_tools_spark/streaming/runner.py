@@ -29,11 +29,16 @@ class LsnWindowRunner:
         source: Callable[[int, int], DataFrame],
         events_per_batch: int = 1_000_000,
         mode: str = "mor",
+        merge_kwargs: dict | None = None,
     ):
         self.table = table
         self.source = source
         self.events_per_batch = events_per_batch
         self.mode = mode
+        # forwarded to merge_batch — e.g. compact_threshold=10**9 to
+        # disable inline folding when a CompactionScheduler owns
+        # maintenance off the ingest path (lake/maintenance.py)
+        self.merge_kwargs = dict(merge_kwargs or {})
 
     def resume_lsn(self) -> int:
         """First unprocessed lsn: the end of the CONTIGUOUS committed
@@ -73,7 +78,8 @@ class LsnWindowRunner:
         def apply(w):
             wlo, whi = w
             return self.table.merge_batch(
-                self.source(wlo, whi), f"lsn-{wlo}-{whi}", mode=self.mode
+                self.source(wlo, whi), f"lsn-{wlo}-{whi}", mode=self.mode,
+                **self.merge_kwargs,
             )
 
         if pipeline_depth <= 1:

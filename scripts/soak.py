@@ -8,7 +8,10 @@ expiry, orphan GC, rebucket, and a final full-state check against the
 one-shot LWW replay oracle. Prints per-phase timings, per-batch commit
 wall times (flatness = the metadata claim), and metadata footprint.
 
-Usage: python scripts/soak.py [n_batches] [events_per_batch]
+Usage: python scripts/soak.py [n_batches] [events_per_batch] [--offpath]
+  --offpath: disable inline auto-compaction and run the background
+  CompactionScheduler concurrently with ingest (lake/maintenance.py)
+  — the deployment mode that keeps maintenance off the ingest budget.
 """
 
 from __future__ import annotations
@@ -24,11 +27,14 @@ import pyspark.sql.functions as F
 
 from cityofphiladelphia_databridge_etl_tools_spark import changegen
 from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
-from cityofphiladelphia_databridge_etl_tools_spark.lake import LakeTable
+from cityofphiladelphia_databridge_etl_tools_spark.lake import CompactionScheduler, LakeTable
 from cityofphiladelphia_databridge_etl_tools_spark.operators.merge import dedup_last_writer
 from cityofphiladelphia_databridge_etl_tools_spark.session import get_spark
 from cityofphiladelphia_databridge_etl_tools_spark.streaming.runner import LsnWindowRunner
 
+ARGS = [a for a in sys.argv[1:] if a != "--offpath"]
+OFFPATH = "--offpath" in sys.argv
+sys.argv = [sys.argv[0]] + ARGS
 N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
 FAST = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -55,12 +61,23 @@ def main():
     runner = LsnWindowRunner(
         t, lambda lo, hi: spark.read.parquet(f"{root}/in/b{lo // BATCH}"),
         events_per_batch=BATCH,
+        merge_kwargs={"compact_threshold": 10**9} if OFFPATH else None,
     )
+    sched = CompactionScheduler(t, threshold=16, interval_s=0.5) if OFFPATH else None
     t0 = time.time()
+    if sched:
+        sched.start()
     recs = runner.run_until(n, pipeline_depth=4)
+    if sched:
+        sched.stop(drain=True)  # counted: maintenance still inside the clock
     ingest_s = time.time() - t0
+    mode_note = (
+        f"background scheduler: {sched.cycles} cycles, "
+        f"{sched.buckets_compacted} buckets folded, {sched.races_lost} races lost"
+        if sched else "inline auto-compaction on"
+    )
     print(f"ingested {n:,} events / {len(recs)} batches in {ingest_s:.1f}s "
-          f"= {n/ingest_s:,.0f} ev/s (pipelined depth 4, auto-compaction on)")
+          f"= {n/ingest_s:,.0f} ev/s (pipelined depth 4, {mode_note})")
     times = sorted((c.committed_at, c.batch_id) for c in t.manifest.commits)
     gaps = [round(b[0] - a[0], 2) for a, b in zip(times, times[1:])]
     print(f"commit-to-commit gaps (flat = metadata cost not growing): {gaps}")

@@ -655,3 +655,88 @@ def test_driver_side_hash_matches_spark_xxhash64(spark):
         assert xxhash64(("int", r["i"])) == r["hi"]
         assert xxhash64(r["l"]) == r["hl"]
         assert xxhash64(r["s"], ("int", r["i"]), r["l"]) == r["hm"]
+
+
+def test_background_compaction_scheduler_off_path(spark, tmp_path):
+    """Inline compaction disabled (threshold=inf), a background
+    CompactionScheduler folds deltas CONCURRENTLY with pipelined
+    ingest: final state still equals the replay oracle, the scheduler
+    did real work, and a drain leaves no delta residue (reads are
+    window-free)."""
+    from cityofphiladelphia_databridge_etl_tools_spark.lake import CompactionScheduler
+    from cityofphiladelphia_databridge_etl_tools_spark.streaming.runner import LsnWindowRunner
+
+    t = make_table(spark, tmp_path, n_buckets=4)
+    full = changegen.changes(spark, 3000, seed=93)
+
+    def src(lo, hi):
+        return full.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+    sched = CompactionScheduler(t, threshold=3, interval_s=0.2).start()
+    try:
+        runner = LsnWindowRunner(t, src, events_per_batch=150)
+
+        def apply(w):
+            wlo, whi = w
+            return t.merge_batch(
+                src(wlo, whi), f"lsn-{wlo}-{whi}", mode="mor",
+                compact_threshold=10**9,  # inline folding OFF — scheduler owns it
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+        windows = [(k * 150, (k + 1) * 150) for k in range(20)]
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            list(ex.map(apply, windows))
+    finally:
+        sched.stop(drain=True)
+    assert sched.buckets_compacted > 0, "scheduler never did any work"
+    m = t.manifest
+    assert not any(e[2] == "delta" for v in m.bucket_files.values() for e in v)
+    assert_df_equal(t.read(), changegen.expected_final_state(full))
+    # every window committed exactly once despite concurrent compaction
+    assert {f"lsn-{k*150}-{(k+1)*150}" for k in range(20)} <= m.applied_batch_ids
+
+
+def test_compact_zorder_files_narrow_in_both_dimensions(spark, tmp_path):
+    """compact(zorder_by=[ts, turn_idx]) + range partitioning must
+    leave every file simultaneously NARROW in both dimensions (the
+    2-d pruning property), where a plain ts sort leaves turn_idx
+    full-width per file. State must be unchanged."""
+    t = make_table(spark, tmp_path, n_buckets=1)
+    full = changegen.changes(spark, 4000, seed=95, n_convs=400, max_turns=64)
+    t.merge_batch(full, "b0")
+    before = t.read()
+
+    def file_ranges(tbl):
+        paths = [f"{tbl.store.root}/{e[0]}"
+                 for v in tbl.manifest.bucket_files.values() for e in v]
+        rows = (
+            spark.read.parquet(*paths)
+            .select(F.input_file_name().alias("f"), "ts", "turn_idx")
+            .groupBy("f")
+            .agg(F.min("ts").alias("ts_lo"), F.max("ts").alias("ts_hi"),
+                 F.min("turn_idx").alias("ti_lo"), F.max("turn_idx").alias("ti_hi"))
+            .collect()
+        )
+        all_ts = [x for r in rows for x in (r["ts_lo"], r["ts_hi"])]
+        ts_span = (max(all_ts) - min(all_ts)).total_seconds() or 1.0
+        ti_span = max(r["ti_hi"] for r in rows) - min(r["ti_lo"] for r in rows) or 1
+        ts_frac = sum((r["ts_hi"] - r["ts_lo"]).total_seconds() / ts_span for r in rows) / len(rows)
+        ti_frac = sum((r["ti_hi"] - r["ti_lo"]) / ti_span for r in rows) / len(rows)
+        return len(rows), ts_frac, ti_frac
+
+    t.compact(sort_by=["ts"])
+    n1, ts1, ti1 = file_ranges(t)
+    assert_df_equal(t.read(), before)
+
+    t.compact(zorder_by=["ts", "turn_idx"])
+    n2, ts2, ti2 = file_ranges(t)
+    assert_df_equal(t.read(), before)
+
+    if n1 > 1 and n2 > 1:
+        # lexicographic ts sort: disjoint ts ranges, full-width turn_idx
+        assert ts1 < 0.7, (n1, ts1, ti1)
+        assert ti1 > 0.7, (n1, ts1, ti1)
+        # z-order: BOTH dimensions narrow per file
+        assert ts2 < 0.8 and ti2 < 0.8, (n2, ts2, ti2)
+        assert ti2 < ti1
