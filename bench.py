@@ -294,8 +294,8 @@ def main_default():
     # INSIDE the clock — the steady-state number a 24/7 ingest actually
     # sees — in both maintenance modes (inline worst-case vs the
     # background CompactionScheduler off the ingest path)
-    soak = run_lifecycle(spark, events_for(sf))
-    soak.update(run_lifecycle(spark, events_for(sf), offpath=True))
+    soak = run_lifecycle(spark, events_for(sf), n_windows=16)
+    soak.update(run_lifecycle(spark, events_for(sf), n_windows=16, offpath=True))
 
     out = {
         "metric": "cdc_merge_apply_throughput",

@@ -61,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--seed", type=int, default=42)
     r.add_argument("--pipeline-depth", type=int, default=1,
                    help="merge N windows concurrently (MOR only; ~2x at 32 cores)")
+    r.add_argument("--offpath-compaction", action="store_true",
+                   help="disable inline folding; a background "
+                        "CompactionScheduler maintains the table "
+                        "concurrently (3-4x sustained throughput)")
 
     s = sub.add_parser("stream", help="tail a directory of change files")
     s.add_argument("--root", required=True)
@@ -77,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--force", action="store_true")
     k.add_argument("--sort-by", default=None,
                    help="comma-separated columns to re-sort files by (range-scan layout)")
+    k.add_argument("--zorder-by", default=None,
+                   help="comma-separated columns for multi-dimensional "
+                        "Morton-order layout clustering")
 
     g = sub.add_parser("gc", help="remove orphaned data files (crash/race leftovers)")
     g.add_argument("--root", required=True)
@@ -133,13 +140,23 @@ def main(argv: list[str] | None = None) -> int:
                 f"deletes={rec.rows_deleted} lsn=({rec.lsn_lo},{rec.lsn_hi}]"
             )
     elif args.cmd == "run":
+        from .lake import CompactionScheduler
+
         t = LakeTable(spark, args.root)
         runner = LsnWindowRunner(
             t,
             lambda lo, hi: changegen.changes(spark, hi - lo, seed=args.seed, lsn_start=lo),
             events_per_batch=args.events_per_batch,
+            merge_kwargs=(
+                {"compact_threshold": 10**9} if args.offpath_compaction else None
+            ),
         )
+        sched = CompactionScheduler(t).start() if args.offpath_compaction else None
         recs = runner.run_until(args.generate, pipeline_depth=args.pipeline_depth)
+        if sched:
+            sched.stop(drain=True)
+            print(f"scheduler: {sched.cycles} cycles, "
+                  f"{sched.buckets_compacted} buckets folded")
         print(f"applied {len(recs)} windows; resume_lsn={runner.resume_lsn()}; "
               f"rows={t.read().count()}")
     elif args.cmd == "stream":
@@ -158,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
             gc_tombstones_below_lsn=args.below_lsn,
             force=args.force,
             sort_by=args.sort_by.split(",") if args.sort_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
         )
         print("compacted")
     elif args.cmd == "gc":
