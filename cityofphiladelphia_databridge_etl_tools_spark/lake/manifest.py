@@ -168,6 +168,10 @@ class Manifest:
     # (a pure function of the merge key, so LWW stays bucket-local).
     # None = legacy single-column behavior, [key_columns[0]].
     bucket_columns: list[str] | None = None
+    # extra columns whose per-file min/max is recorded at write time
+    # (beyond the order column) — powers manifest-level range pruning
+    # (LakeTable.read_range) without touching any parquet footer
+    stats_columns: list[str] = field(default_factory=list)
 
     def copy(self) -> "Manifest":
         """Structure-sharing copy: containers are fresh, entries
@@ -191,6 +195,7 @@ class Manifest:
             lsn_contig_hi=self.lsn_contig_hi,
             lsn_pending=[list(w) for w in self.lsn_pending],
             bucket_columns=list(self.bucket_columns) if self.bucket_columns else None,
+            stats_columns=list(self.stats_columns),
         )
 
     @property
@@ -349,6 +354,7 @@ def apply_delta(
         lsn_contig_hi=contig_hi,
         lsn_pending=pending,
         bucket_columns=delta.new_bucket_columns or parent.bucket_columns,
+        stats_columns=parent.stats_columns,
     )
 
 

@@ -79,6 +79,16 @@ def _json_safe(v):
     return v if isinstance(v, (int, float, str, type(None))) else None
 
 
+def _stat_safe(v):
+    """Per-file stat value → JSON-comparable form. Timestamps render
+    as fixed-width 'YYYY-MM-DD HH:MM:SS[.ffffff]' strings, whose
+    LEXICOGRAPHIC order equals chronological order — so range pruning
+    can compare them without parsing."""
+    if isinstance(v, (int, float, str, type(None))):
+        return v
+    return str(v)
+
+
 def _as_lsn(v) -> int:
     """Watermark metric → long. Non-integer order columns (e.g. a
     table ordered purely by timestamp) degrade gracefully: watermarks
@@ -111,6 +121,7 @@ class LakeTable:
         order_columns: list[str] = ("ts", "lsn"),
         n_buckets: int = 16,
         bucket_columns: list[str] | None = None,
+        stats_columns: list[str] | None = None,
     ) -> "LakeTable":
         """``bucket_columns`` picks which key columns the key→bucket
         hash covers (must be a subset of ``key_columns`` so LWW stays
@@ -118,7 +129,13 @@ class LakeTable:
         leading key (e.g. dept) still spreads over every bucket.
         Narrow it (e.g. ["conv_id"]) to co-locate an entity's rows for
         single-bucket entity reads, trading point-lookup granularity
-        for locality."""
+        for locality.
+
+        ``stats_columns``: extra columns whose per-file min/max is
+        recorded in the manifest at every write (one shared agg job —
+        no extra pass), enabling ``read_range`` file pruning. Pair
+        with ``compact(sort_by=...)`` / ``compact(zorder_by=...)`` so
+        files actually have narrow ranges to prune on."""
         for k in list(key_columns) + list(order_columns):
             if k not in schema.names:
                 raise ValueError(f"key/order column {k!r} not in schema")
@@ -143,6 +160,7 @@ class LakeTable:
             commits=[],
             watermarks={},
             bucket_columns=bucket_columns,
+            stats_columns=[c for c in (stats_columns or []) if c in schema.names],
         )
         store.commit(manifest)
         return cls(spark, root)
@@ -169,12 +187,20 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         manifest: Manifest | None = None,
+        base_file_pred=None,
     ) -> DataFrame:
         """Current table state. ``buckets`` prunes the scan to those
         buckets' files via the manifest index (no directory listing —
         the engine's partition pruning). If any selected bucket has
         delta files, base ∪ deltas is LWW-resolved here (merge-on-read);
-        tables with only base files skip the window entirely."""
+        tables with only base files skip the window entirely.
+
+        ``base_file_pred(entry) -> bool`` skips individual files — but
+        ONLY in base-only buckets, where every key's final version
+        lives in exactly one file, so dropping a file drops whole rows
+        and never un-shadows a superseded version. Delta-bearing
+        buckets always read in full (file pruning there could resolve
+        LWW against a partial version set — unsound)."""
         m = manifest or self.manifest
         current = self.schema(m)
         stored_current = _with_deleted(current)
@@ -191,7 +217,13 @@ class LakeTable:
                 continue
             bucket_has_delta = any(e[2] == DELTA for e in entries)
             target = resolve_groups if bucket_has_delta else plain_groups
-            for e in entries:  # [relpath, schema_version, tier, lo, hi]
+            for e in entries:  # [relpath, schema_version, tier, lo, hi, {col: [lo, hi]}?]
+                if (
+                    base_file_pred is not None
+                    and not bucket_has_delta
+                    and not base_file_pred(e)
+                ):
+                    continue
                 target.setdefault(e[1], []).append(os.path.join(self.store.root, e[0]))
 
         def read_groups(groups):
@@ -550,8 +582,11 @@ class LakeTable:
             # the sort key so each file owns a DISJOINT key range —
             # that's what makes file-level min/max stats actually prune
             # (hash-salted partitions would each span the full range).
+            # Explicit partition count: an AQE-coalesced single output
+            # file would leave nothing to prune.
+            n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             out = df.repartitionByRange(
-                F.col("_bucket"), *[F.col(c) for c in sort_by]
+                n_parts, F.col("_bucket"), *[F.col(c) for c in sort_by]
             ).sortWithinPartitions("_bucket", *sort_by)
             if drop_after_sort:
                 # computed sort keys (e.g. the Z-order column) order the
@@ -587,17 +622,22 @@ class LakeTable:
                 raise
             return {}, {}
         oc_col = F.col(oc) if oc in back.columns else F.lit(None)
+        scols = [c for c in m.stats_columns if c in back.columns and c != oc]
         stats = (
             back.select(
                 F.input_file_name().alias("_file"),
                 F.col("_bucket").cast("string").alias("_b"),
                 oc_col.alias("_oc"),
+                *[F.col(c) for c in scols],
             )
             .groupBy("_file", "_b")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
                 F.min("_oc").alias("_lo"),
                 F.max("_oc").alias("_hi"),
+                *[x for c in scols for x in (
+                    F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")
+                )],
             )
             .collect()
         )
@@ -607,9 +647,16 @@ class LakeTable:
         for r in sorted(stats, key=lambda r: r["_file"]):
             idx = r["_file"].find(marker)
             relpath = r["_file"][idx + 1:] if idx >= 0 else r["_file"]
-            files.setdefault(r["_b"], []).append(
-                [relpath, schema_version, tier, _json_safe(r["_lo"]), _json_safe(r["_hi"])]
-            )
+            entry = [relpath, schema_version, tier, _json_safe(r["_lo"]), _json_safe(r["_hi"])]
+            if scols or m.stats_columns:
+                col_stats = {
+                    c: [_stat_safe(r[f"_lo_{c}"]), _stat_safe(r[f"_hi_{c}"])]
+                    for c in scols
+                }
+                if oc in m.stats_columns:
+                    col_stats[oc] = [_stat_safe(r["_lo"]), _stat_safe(r["_hi"])]
+                entry.append(col_stats)
+            files.setdefault(r["_b"], []).append(entry)
             rows[r["_b"]] = rows.get(r["_b"], 0) + r["_n"]
         return files, rows
 
@@ -851,6 +898,59 @@ class LakeTable:
         if extra_filter is not None:
             out = out.filter(extra_filter)
         return out
+
+    def read_range(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        include_deleted: bool = False,
+        stats: dict | None = None,
+    ) -> DataFrame:
+        """Range scan with MANIFEST-level file pruning: files whose
+        recorded [min, max] for ``col`` (see ``stats_columns`` at
+        create time) cannot intersect [lo, hi] are never opened —
+        pruning happens on the driver against metadata, before any
+        Spark planning, like Iceberg's scan planning against manifest
+        stats. Sound pruning needs compacted buckets (see ``read``);
+        delta-bearing buckets are read fully and filtered. Run
+        ``compact(sort_by=[col])`` or ``compact(zorder_by=[...,col,...])``
+        first so files have narrow ranges worth pruning.
+
+        The row-level predicate is ALWAYS applied — pruning only
+        removes files that provably contain no matches, so the result
+        equals ``read().filter(...)`` exactly. Pass ``stats={}`` to
+        receive {"files_total": N, "files_read": K} back."""
+        m = self.manifest
+        slo = _stat_safe(lo) if lo is not None else None
+        shi = _stat_safe(hi) if hi is not None else None
+        counters = {"files_total": 0, "files_read": 0}
+
+        def pred(e) -> bool:
+            counters["files_total"] += 1
+            cs = e[5] if len(e) > 5 and isinstance(e[5], dict) else None
+            keep = True
+            if cs and col in cs:
+                flo, fhi = cs[col]
+                if flo is not None and fhi is not None:
+                    if slo is not None and fhi < slo:
+                        keep = False
+                    if shi is not None and flo > shi:
+                        keep = False
+            if keep:
+                counters["files_read"] += 1
+            return keep
+
+        df = self.read(
+            include_deleted=include_deleted, manifest=m, base_file_pred=pred
+        )
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        if stats is not None:
+            stats.update(counters)
+        return df
 
     def gc_dead_letters(self, dry_run: bool = False, older_than_s: float = 7 * 86400.0) -> list[str]:
         """Expire old dead-letter captures (sinks.dead_letter writes

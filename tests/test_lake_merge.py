@@ -740,3 +740,43 @@ def test_compact_zorder_files_narrow_in_both_dimensions(spark, tmp_path):
         # z-order: BOTH dimensions narrow per file
         assert ts2 < 0.8 and ti2 < 0.8, (n2, ts2, ti2)
         assert ti2 < ti1
+
+
+def test_read_range_prunes_files_by_manifest_stats(spark, tmp_path):
+    """Manifest-level range pruning: with stats_columns=['ts'] and a
+    ts-sorted compaction (disjoint per-file ranges), a mid-range scan
+    must open strictly fewer files than the table holds while
+    returning EXACTLY read().filter(...). After new (uncompacted)
+    deltas arrive, those buckets read fully — results stay exact."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], order_columns=["ts", "lsn"],
+        n_buckets=2, bucket_columns=["conv_id"], stats_columns=["ts"],
+    )
+    full = changegen.changes(spark, 3000, seed=97)
+    t.merge_batch(full.filter(F.col("lsn") < 2000), "b0")
+    t.compact(sort_by=["ts"])
+
+    bounds = t.read().agg(F.min("ts"), F.max("ts")).collect()[0]
+    t0, t1 = bounds[0], bounds[1]
+    span = t1 - t0
+    lo, hi = t0 + span / 3, t0 + 2 * span / 3
+
+    st = {}
+    got = t.read_range("ts", lo, hi, stats=st)
+    expect = t.read().filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    assert_df_equal(got, expect)
+    assert st["files_total"] > 1
+    assert st["files_read"] < st["files_total"], st  # pruning really happened
+
+    # stats survive the manifest JSON roundtrip (cold reader)
+    cold = LakeTable(spark, t.store.root)
+    st2 = {}
+    assert_df_equal(cold.read_range("ts", lo, hi, stats=st2), expect)
+    assert st2["files_read"] == st["files_read"]
+
+    # new deltas: affected buckets lose file pruning but never accuracy
+    t.merge_batch(full.filter(F.col("lsn") >= 2000), "b1")
+    got2 = t.read_range("ts", lo, hi)
+    expect2 = t.read().filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    assert_df_equal(got2, expect2)
