@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--order-cols", default="ts,lsn")
     c.add_argument("--n-buckets", type=int, default=16)
     c.add_argument(
+        "--stats-cols",
+        help="comma list of columns to record per-file min/max for "
+             "(manifest-level range pruning via read_range)",
+    )
+    c.add_argument(
         "--bucket-cols",
         help="comma list of key columns the bucket hash covers "
              "(default: all keys; narrow for entity locality)",
@@ -121,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
             order_columns=args.order_cols.split(","),
             n_buckets=args.n_buckets,
             bucket_columns=args.bucket_cols.split(",") if args.bucket_cols else None,
+            stats_columns=args.stats_cols.split(",") if args.stats_cols else None,
         )
         print(f"created {args.root}")
     elif args.cmd == "ingest":
