@@ -90,6 +90,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated columns for multi-dimensional "
                         "Morton-order layout clustering")
 
+    mt = sub.add_parser("maintain", help="one-call housekeeping: compact + expire-log + gc")
+    mt.add_argument("--root", required=True)
+    mt.add_argument("--orphans-older-than", type=float, default=600.0)
+
     g = sub.add_parser("gc", help="remove orphaned data files (crash/race leftovers)")
     g.add_argument("--root", required=True)
     g.add_argument("--dry-run", action="store_true")
@@ -172,6 +176,9 @@ def main(argv: list[str] | None = None) -> int:
         q = stream_changes_into_table(spark, args.changes_dir, t, args.checkpoint)
         q.awaitTermination()
         print(f"stream drained; table rows={t.read().count()}")
+    elif args.cmd == "maintain":
+        t = LakeTable(spark, args.root)
+        print(t.maintain(orphans_older_than_s=args.orphans_older_than))
     elif args.cmd == "compact":
         t = LakeTable(spark, args.root)
         buckets = [int(b) for b in args.buckets.split(",")] if args.buckets else None

@@ -952,6 +952,31 @@ class LakeTable:
             stats.update(counters)
         return df
 
+    def maintain(
+        self,
+        compact_kwargs: dict | None = None,
+        keep_snapshots: int = 2,
+        orphans_older_than_s: float = 600.0,
+        dead_letters_older_than_s: float = 7 * 86400.0,
+    ) -> dict:
+        """One-call housekeeping: fold every delta-bearing bucket,
+        expire metadata log history behind the snapshot horizon,
+        remove orphaned data files (past the in-flight-writer grace
+        period) and aged dead-letter captures. The reference runs its
+        cleanup as a cron of DROP statements (_cleanup.py:5-15); here
+        it is one online, crash-safe, cursor-respecting operation —
+        every sub-step is individually safe under concurrent writers.
+        Returns per-step counts."""
+        self.compact(**(compact_kwargs or {}))
+        removed_meta = self.store.expire_log(keep_snapshots=keep_snapshots)
+        orphans = self.gc_orphans(older_than_s=orphans_older_than_s)
+        dead = self.gc_dead_letters(older_than_s=dead_letters_older_than_s)
+        return {
+            "metadata_records_removed": len(removed_meta),
+            "orphan_files_removed": len(orphans),
+            "dead_letters_removed": len(dead),
+        }
+
     def gc_dead_letters(self, dry_run: bool = False, older_than_s: float = 7 * 86400.0) -> list[str]:
         """Expire old dead-letter captures (sinks.dead_letter writes
         under <root>/_errors/<timestamp>) — the reference's -errors.txt

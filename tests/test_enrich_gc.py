@@ -82,3 +82,27 @@ def test_gc_orphans(spark, tmp_path):
         t.read(manifest=old),
         changegen.expected_final_state(stream.filter(F.col("lsn") < 400)),
     )
+
+
+def test_maintain_one_call_housekeeping(spark, tmp_path):
+    """maintain() = compact + expire_log + orphan GC + dead-letter GC
+    in one call: all deltas fold, state is unchanged, and counters
+    report what each step removed."""
+    from cityofphiladelphia_databridge_etl_tools_spark import changegen
+    from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
+    from cityofphiladelphia_databridge_etl_tools_spark.lake import LakeTable
+    import pyspark.sql.functions as F
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                         ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=4)
+    stream = changegen.changes(spark, 1200, seed=99)
+    for k in range(3):
+        t.merge_batch(stream.filter((F.col("lsn") >= k*400) & (F.col("lsn") < (k+1)*400)),
+                      f"m{k}")
+    before = t.read()
+    out = t.maintain(orphans_older_than_s=0.0)
+    m = t.manifest
+    assert not any(e[2] == "delta" for v in m.bucket_files.values() for e in v)
+    assert out["orphan_files_removed"] >= 0 and "metadata_records_removed" in out
+    from tests.test_lake_merge import assert_df_equal
+    assert_df_equal(t.read(), before)

@@ -240,3 +240,58 @@ def test_snapshot_size_and_cold_read_flat_in_commit_count(mk_store):
 
     t_late = min(cold_read() for _ in range(3))
     assert t_late < 0.5, f"cold read_current too slow at 1200 commits: {t_late}"
+
+
+def test_fold_lsn_windows_property_matches_set_oracle():
+    """Property: committing contiguous windows in ANY order keeps the
+    structural cursor equal to an oracle that tracks the full set —
+    contig_hi is the end of the longest committed prefix, pending is
+    exactly the committed windows beyond the first gap, and membership
+    agrees with set membership for every window."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cityofphiladelphia_databridge_etl_tools_spark.lake.manifest import (
+        Manifest, SchemaVersion, _fold_lsn_windows,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=10),
+        st.randoms(use_true_random=False),
+    )
+    def check(sizes, rng):
+        bounds = [0]
+        for sz in sizes:
+            bounds.append(bounds[-1] + sz)
+        windows = list(zip(bounds, bounds[1:]))
+        order = windows[:]
+        rng.shuffle(order)
+
+        contig, pending = 0, []
+        committed: set = set()
+        for lo, hi in order:
+            contig, pending = _fold_lsn_windows(contig, pending, [f"lsn-{lo}-{hi}"])
+            committed.add((lo, hi))
+            # oracle: longest committed prefix
+            expect_contig = 0
+            for wlo, whi in windows:
+                if (wlo, whi) in committed and wlo == expect_contig:
+                    expect_contig = whi
+                else:
+                    break
+            assert contig == expect_contig, (order, committed, contig, expect_contig)
+            assert pending == sorted(
+                [list(w) for w in committed if w[0] > expect_contig]
+            ), (order, committed, pending)
+            # membership view agrees with the set
+            m = Manifest(
+                version=0, n_buckets=1, key_columns=["k"], order_columns=["lsn"],
+                schema_versions=[SchemaVersion(0, "{}", 0.0)], bucket_files={},
+                commits=[], watermarks={}, lsn_contig_hi=contig, lsn_pending=pending,
+            )
+            view = m.applied_batch_ids
+            for wlo, whi in windows:
+                assert ((f"lsn-{wlo}-{whi}" in view) == ((wlo, whi) in committed))
+
+    check()
