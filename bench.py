@@ -361,7 +361,8 @@ def main_scaling():
     # per batch) so fixed per-batch costs (planning, stats job, commit
     # — ~1-2s, negligible against real cluster batch sizes) don't mask
     # the parallel fraction
-    n, n_batches = 2_000_000 * hi, 2
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", 2_000_000 * hi))
+    n_batches = 2
     raw = raw_cpu_scaling(lo, hi)
     results = {}
     for cores in (lo, hi):
