@@ -193,3 +193,147 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ----------------------------------------------------------------- IVF ANN
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means coarse quantizer (the IVF codebook) as pure DataFrame
+    ops — Lloyd's iterations with a broadcast centroid table:
+
+    - init: the ``n_centroids`` vectors with the smallest
+      xxhash64(id) (deterministic, data-independent spread — no RNG,
+      so training is reproducible across runs/engines);
+    - assign: broadcast crossJoin + argmin squared distance (JVM
+      higher-order functions, no UDF);
+    - update: groupBy(centroid) elementwise mean via
+      ``array_agg``-free posexplode + avg (scales with n·d rows, one
+      shuffle per iteration).
+
+    Each iteration localCheckpoints so iteration N never replans
+    1..N-1. Cells that lose all members drop out (standard empty-cell
+    handling). Returns (centroid_id, centroid)."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    cents = (
+        v.withColumn("_h", F.xxhash64("vid"))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("_h")).alias("centroid_id"),
+            F.col("vec").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("vec"), F.col("centroid"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(n_iters):
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .select("vid", "vec", "centroid_id", dist.alias("d2"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("centroid_id").asc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+        )
+        cents = (
+            assigned.select("centroid_id", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("dm"), lambda s: s["m"].cast("float")).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (probe 1
+    = the inverted-list build; probe > 1 = the query-side multi-probe).
+    Broadcast join — centroid tables are tiny by construction."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    sim = cosine(F.col("vec"), F.col("centroid"))
+    return (
+        v.crossJoin(F.broadcast(centroids))
+        .select("vid", "centroid_id", sim.alias("csim"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select(F.col("vid").alias(id_col), "centroid_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means cells replace the cross join — every vector
+    lives in one inverted list, each query probes its ``n_probe``
+    nearest cells, exact cosine re-ranks inside the probed lists. The
+    candidate step is an EQUI-join on centroid_id (shuffle-
+    partitionable; cell skew handled by AQE), the second sub-quadratic
+    ANN strategy next to multi-table LSH — IVF adapts to the data
+    distribution where LSH is data-independent."""
+    cents = ivf_centroids(vectors, n_centroids, n_iters, id_col, vec_col)
+    lists = ivf_assign(vectors, cents, id_col, vec_col, n_probe=1).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    probes = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe).withColumnRenamed(
+        id_col, "query_id"
+    )
+    cand = (
+        probes.join(lists, "centroid_id")
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cand.join(q, "query_id")
+        .join(v, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -109,3 +109,57 @@ def test_paged_rest_buffer_is_bounded(spark, tmp_path):
     # bounded: far below the full corpus (allow slack for GC timing
     # and per-flush createDataFrame copies)
     assert peak["rows_alive"] <= flush + 2 * page + 1000, peak
+
+
+def test_bmp_codec_roundtrip_and_resize(spark, sf_dir):
+    """Real zero-dependency IMAGE path: encode 24-bit BMPs, decode the
+    container back (dims + per-channel means vs an independent numpy
+    reference), and nearest-neighbor resize — an exact 2x upscale
+    replicates every pixel 2x2, so per-channel means are preserved
+    EXACTLY; downscale dims land on target."""
+    import numpy as np
+
+    from cityofphiladelphia_databridge_etl_tools_spark.operators.multimodal import (
+        decode_bmp_meta, encode_bmp24, resize_bmp,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    media = encode_bmp24(docs)
+    meta = {r["media_id"]: r for r in decode_bmp_meta(media).collect()}
+    assert set(meta) == set(rows)
+    for mid, text in rows.items():
+        w, h = 4 + mid % 13, 3 + mid % 7
+        m = meta[mid]
+        assert (m["width"], m["height"]) == (w, h)
+        x = np.arange(w)[None, :]; y = np.arange(h)[:, None]
+        r = np.broadcast_to((x * y + len(text or "")) % 256, (h, w))
+        g = np.broadcast_to((mid * 3 + y + 0 * x) % 256, (h, w))
+        b = np.broadcast_to((mid + x + 0 * y) % 256, (h, w))
+        assert m["mean_r"] == round(float(r.mean()), 4)
+        assert m["mean_g"] == round(float(g.mean()), 4)
+        assert m["mean_b"] == round(float(b.mean()), 4)
+
+    # exact 2x upscale of one known image preserves channel means
+    one = media.filter(F.col("media_id") == list(rows)[0])
+    mid0 = list(rows)[0]
+    w0, h0 = 4 + mid0 % 13, 3 + mid0 % 7
+    up = decode_bmp_meta(resize_bmp(one, 2 * w0, 2 * h0)).collect()[0]
+    base = meta[mid0]
+    assert (up["width"], up["height"]) == (2 * w0, 2 * h0)
+    assert (up["mean_r"], up["mean_g"], up["mean_b"]) == (
+        base["mean_r"], base["mean_g"], base["mean_b"]
+    )
+    # downscale to fixed thumbnail dims
+    thumb = decode_bmp_meta(resize_bmp(media, 4, 3)).collect()
+    assert all((t["width"], t["height"]) == (4, 3) for t in thumb)
+
+    # malformed payloads surface as NULL rows, not task failures
+    bad = spark.createDataFrame(
+        [(999, "image", bytearray(b"NOTABMP"), "image/bmp")], MEDIA_SCHEMA_DDL
+    )
+    got = decode_bmp_meta(bad).collect()[0]
+    assert got["width"] is None and got["mean_r"] is None
+
+
+MEDIA_SCHEMA_DDL = "media_id long, kind string, payload binary, mime string"

@@ -419,3 +419,30 @@ def test_to_esri_json_multiring_and_linestring(spark):
         "spatialReference": {"wkid": 4326},
     }
     assert out[5] is None
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF ANN (k-means cells + multi-probe + exact re-rank): recall
+    vs the exact baseline must be substantial with 2-of-8 cells
+    probed, candidates restricted to probed cells, and the codebook
+    training fully deterministic (two runs agree exactly)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    recall = hits / exact.count()
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    per_q = approx.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q <= 5
+    # deterministic training: a second run reproduces the exact result
+    again = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    assert approx.exceptAll(again).count() == 0 and again.exceptAll(approx).count() == 0
+    # probing ALL cells makes IVF exact (sanity: it's a partition of space)
+    full = S.ivf_topk(emb, queries, k=5, n_centroids=4, n_probe=4)
+    hits_full = exact.join(
+        full.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert hits_full == exact.count(), "probing every cell must equal brute force"
