@@ -25,10 +25,13 @@ ingest actually needs.
 
 from __future__ import annotations
 
+import logging
 import threading
 
 from .manifest import ConcurrentCommitError
 from .table import DELTA, LakeTable
+
+_log = logging.getLogger(__name__)
 
 
 class CompactionScheduler:
@@ -62,6 +65,12 @@ class CompactionScheduler:
         self.cycles = 0
         self.buckets_compacted = 0
         self.races_lost = 0
+        # UNEXPECTED failures (not CAS races / transient read plans):
+        # counted separately and the last one kept, so a persistent
+        # problem (bad config, corrupt file) is observable instead of
+        # masquerading as benign race noise while deltas pile up
+        self.errors = 0
+        self.last_error: BaseException | None = None
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -124,10 +133,20 @@ class CompactionScheduler:
             return False
 
     def _loop(self) -> None:
+        from pyspark.errors.exceptions.base import AnalysisException
+
         while not self._stop.wait(self.interval_s):
             try:
                 self._cycle()
-            except Exception:  # noqa: BLE001 — maintenance must never
-                # kill ingest; transient read errors (e.g. a bucket's
-                # files replaced mid-plan) resolve on the next cycle
+            except AnalysisException:
+                # transient read race: a bucket's files were replaced
+                # between plan and execution — resolves next cycle
                 self.races_lost += 1
+            except Exception as e:  # noqa: BLE001 — maintenance must
+                # never kill ingest, but an UNEXPECTED failure must not
+                # hide as race noise either: count it, keep it, log it,
+                # and keep cycling (deltas keep accumulating until an
+                # operator inspects .errors/.last_error)
+                self.errors += 1
+                self.last_error = e
+                _log.warning("compaction cycle failed unexpectedly: %r", e)

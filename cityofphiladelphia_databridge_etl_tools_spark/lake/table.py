@@ -104,9 +104,16 @@ class LakeTable:
     """One lake table = directory + commit log. Multi-writer safe via
     CAS on the log position (losers reload and retry)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, id_retention: int = 10_000):
+        """``id_retention`` bounds the exactly-once replay-detection
+        window for ARBITRARY batch ids (lsn-<lo>-<hi> runner ids are
+        exempt — tracked structurally, unbounded): a batch id replayed
+        after more than ``id_retention`` intervening commits is no
+        longer recognized and would re-apply. Size it above the
+        worst-case replay lag of any at-least-once upstream, or use
+        LsnWindowRunner ids. See also :meth:`merge_batch`."""
         self.spark = spark
-        self.store = MetaStore(root)
+        self.store = MetaStore(root, id_retention=id_retention)
         if not self.store.exists():
             raise FileNotFoundError(f"no lake table at {root} (use LakeTable.create)")
 
@@ -266,6 +273,7 @@ class LakeTable:
         max_auto_compact_buckets: int = 4,
         on_bad_rows: str = "fail",
         max_commit_retries: int = 5,
+        _lsn_window_issued: bool = False,
     ) -> CommitRecord | None:
         """Apply one CDC microbatch exactly-once.
 
@@ -293,6 +301,21 @@ class LakeTable:
             raise ValueError(f"unknown merge mode {mode!r}")
         if on_bad_rows not in ("fail", "dead_letter"):
             raise ValueError(f"unknown on_bad_rows policy {on_bad_rows!r}")
+        # the lsn-<lo>-<hi> id namespace is RESERVED for LsnWindowRunner:
+        # those ids resolve exactly-once STRUCTURALLY against the window
+        # cursor (manifest.AppliedIds), so a caller-invented 'lsn-0-100'
+        # for an unrelated source would be silently treated as already
+        # applied once the cursor passes 100 — permanent data loss.
+        # Reject up front instead (ADVICE r3: reserve the namespace).
+        from .manifest import _lsn_window
+
+        if _lsn_window(batch_id) is not None and not _lsn_window_issued:
+            raise ValueError(
+                f"batch id {batch_id!r} uses the reserved lsn-<lo>-<hi> "
+                "namespace (structural exactly-once cursor). Use "
+                "LsnWindowRunner for windowed ingest, or pick an id that "
+                "does not match lsn-<digits>-<digits>."
+            )
         m = self.manifest
         if batch_id in m.applied_batch_ids:
             return None
@@ -933,10 +956,18 @@ class LakeTable:
             if cs and col in cs:
                 flo, fhi = cs[col]
                 if flo is not None and fhi is not None:
-                    if slo is not None and fhi < slo:
-                        keep = False
-                    if shi is not None and flo > shi:
-                        keep = False
+                    try:
+                        if slo is not None and fhi < slo:
+                            keep = False
+                        if shi is not None and flo > shi:
+                            keep = False
+                    except TypeError:
+                        # bound type incomparable with the recorded stat
+                        # type (e.g. int bound vs timestamp-string
+                        # stats): degrade to "cannot prune" — the
+                        # row-level filter below still applies, so the
+                        # result stays exact, just unpruned
+                        keep = True
             if keep:
                 counters["files_read"] += 1
             return keep
@@ -982,18 +1013,25 @@ class LakeTable:
         under <root>/_errors/<timestamp>) — the reference's -errors.txt
         files accumulate in S3 forever; here retention is a table
         maintenance op like orphan GC."""
+        from .fs import mtimes_parallel, walk_files_parallel
+
         fs = self.store.fs
         now = MetaStore.now()
         removed = []
-        for path in fs.walk_files(f"{self.store.root}/_errors"):
-            if now - fs.mtime(path) < older_than_s:
+        # prefix-parallel listing + batched stat calls: dead-letter
+        # captures accumulate one directory per batch, so both the LIST
+        # and the per-file HEAD round-trips fan out across prefixes
+        all_files = walk_files_parallel(fs, f"{self.store.root}/_errors")
+        mt = mtimes_parallel(fs, all_files)
+        for path in all_files:
+            if now - mt[path] < older_than_s:
                 continue
             removed.append(os.path.relpath(path, self.store.root))
             if not dry_run:
                 fs.delete(path)
         if not dry_run:
             for d in sorted(
-                {os.path.dirname(p) for p in fs.walk_files(f"{self.store.root}/_errors")} |
+                {os.path.dirname(p) for p in walk_files_parallel(fs, f"{self.store.root}/_errors")} |
                 {f"{self.store.root}/_errors/{n}" for n in fs.listdir(f"{self.store.root}/_errors")},
                 key=len, reverse=True,
             ):
@@ -1010,24 +1048,33 @@ class LakeTable:
         retained snapshot or log record are kept, so time travel works
         until expire_log drops that history. Returns removed relative
         paths."""
+        from .fs import mtimes_parallel, walk_files_parallel
+
         fs = self.store.fs
         referenced = {os.path.normpath(p) for p in self.store.referenced_files()}
         now = MetaStore.now()
         removed = []
-        for path in fs.walk_files(self.store.data_dir):
+        # prefix-parallel walk (one LIST task per snapshot directory) —
+        # serial driver listing of a 10^6-file table is minutes of
+        # round-trips; the manifest-unreferenced survivors (normally
+        # few) then get their age checks batched the same way
+        candidates = []
+        for path in walk_files_parallel(fs, self.store.data_dir):
             if not path.endswith(".parquet"):
                 continue
             rel = os.path.normpath(os.path.relpath(path, self.store.root))
-            if rel in referenced:
-                continue
-            if now - fs.mtime(path) < older_than_s:
+            if rel not in referenced:
+                candidates.append((path, rel))
+        mt = mtimes_parallel(fs, [p for p, _ in candidates])
+        for path, rel in candidates:
+            if now - mt[path] < older_than_s:
                 continue
             removed.append(rel)
             if not dry_run:
                 fs.delete(path)
         if not dry_run:  # prune dirs holding only write-marker debris
             for d in sorted(
-                {os.path.dirname(p) for p in fs.walk_files(self.store.data_dir)} |
+                {os.path.dirname(p) for p in walk_files_parallel(fs, self.store.data_dir)} |
                 {os.path.join(self.store.data_dir, n) for n in fs.listdir(self.store.data_dir)},
                 key=len, reverse=True,
             ):

@@ -236,20 +236,23 @@ def connected_components(
     Pass ``stats={}`` to receive {"rounds": k} back (tests assert the
     log-round bound)."""
     spark = pairs.sparkSession
-    edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    # every node that appears in any pair (roots must label themselves
-    # even after stars strip them from the a-side)
-    nodes = _sym(edges).select(F.col("a").alias("id")).distinct().localCheckpoint()
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = raw.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    # every node that appears in any pair — taken from the RAW pairs so a
+    # node present only in self-pairs (a == b) still emits a singleton
+    # (id, id) row instead of vanishing from the output
+    nodes = _sym(raw).select(F.col("a").alias("id")).distinct().localCheckpoint()
 
     def signature(e: DataFrame):
+        # order-insensitive edge-set signature. The hash sum is widened to
+        # decimal(38,0) BEFORE aggregating: summing uniformly-distributed
+        # 64-bit xxhash64 values overflows a long almost surely, which is
+        # silent wraparound ANSI-off but ARITHMETIC_OVERFLOW under Spark 4's
+        # ANSI-on default — operators must be correct under the caller's
+        # session config, not just this package's pinned one.
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("a", "b")).alias("h"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 

@@ -305,10 +305,15 @@ def decode_bmp_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame
         px = _bmp_pixels(b)
         if px is None:
             return (None,) * 6
+        # channel means stay UNROUNDED: they are exact rationals
+        # (integer pixel sum / n, both exactly computed in double), so
+        # any engine reproduces them bit-for-bit — while a decimal
+        # round would hit exact-.5 ties whenever w*h is a power of two
+        # and round-half-even vs round-half-up then diverge.
         means = px.reshape(-1, 3).mean(axis=0)
         return (
             len(b), px.shape[1], px.shape[0],
-            round(float(means[0]), 4), round(float(means[1]), 4), round(float(means[2]), 4),
+            float(means[0]), float(means[1]), float(means[2]),
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -207,10 +207,13 @@ def ivf_centroids(
     ops — Lloyd's iterations with a broadcast centroid table:
 
     - init: the ``n_centroids`` vectors with the smallest
-      xxhash64(id) (deterministic, data-independent spread — no RNG,
-      so training is reproducible across runs/engines);
+      md5(id) (deterministic, data-independent spread — no RNG, and
+      md5 hex is identical in any engine, so the codebook is
+      reproducible across runs AND replayable by a SQL oracle);
     - assign: broadcast crossJoin + argmin squared distance (JVM
-      higher-order functions, no UDF);
+      higher-order functions, no UDF); distances are rounded to 9
+      decimals before the argmin so last-ulp summation-order noise
+      can never flip an assignment between engines;
     - update: groupBy(centroid) elementwise mean via
       ``array_agg``-free posexplode + avg (scales with n·d rows, one
       shuffle per iteration).
@@ -220,7 +223,7 @@ def ivf_centroids(
     handling). Returns (centroid_id, centroid)."""
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     cents = (
-        v.withColumn("_h", F.xxhash64("vid"))
+        v.withColumn("_h", F.md5(F.col("vid").cast("string").cast("binary")))
         .orderBy("_h")
         .limit(n_centroids)
         .select(
@@ -241,7 +244,7 @@ def ivf_centroids(
     for _ in range(n_iters):
         assigned = (
             v.crossJoin(F.broadcast(cents))
-            .select("vid", "vec", "centroid_id", dist.alias("d2"))
+            .select("vid", "vec", "centroid_id", F.round(dist, 9).alias("d2"))
             .withColumn(
                 "_rn",
                 F.row_number().over(
@@ -276,7 +279,10 @@ def ivf_assign(
     = the inverted-list build; probe > 1 = the query-side multi-probe).
     Broadcast join — centroid tables are tiny by construction."""
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    sim = cosine(F.col("vec"), F.col("centroid"))
+    # rounded before ranking (package convention: similarity floats are
+    # rounded before any argmin/argmax so the choice of cell is stable
+    # across engines and summation orders)
+    sim = F.round(cosine(F.col("vec"), F.col("centroid")), 9)
     return (
         v.crossJoin(F.broadcast(centroids))
         .select("vid", "centroid_id", sim.alias("csim"))

@@ -13,12 +13,17 @@ Cross-engine determinism rules used throughout (Spark vs DuckDB):
 - similarity floats are rounded before ranking and output.
 """
 
-from .core import CORE_REGISTRY
+from .core import CORE_REGISTRY, CURATED_OUT_CORE
 from .data import DATA_REGISTRY
 
 REGISTRY: dict = {}
 REGISTRY.update(CORE_REGISTRY)
 REGISTRY.update(DATA_REGISTRY)
+
+# Implemented + oracled queries curated out of the driver's 50-row gate
+# cap (see core.CURATED_OUT_CORE); tests/test_curated_out.py keeps them
+# oracle-checked every pytest run.
+CURATED_OUT: dict = dict(CURATED_OUT_CORE)
 
 
 def load(spark, sf_dir: str, name: str):

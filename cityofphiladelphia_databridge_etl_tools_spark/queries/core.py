@@ -155,6 +155,46 @@ def cdc_compacted_state(spark, sf_dir):
     return t.read().select("conv_id", "turn_idx", "role", "text", "ts", "lsn")
 
 
+def cdc_range_prune(spark, sf_dir):
+    """Z-order layout + manifest-stat file pruning through the REAL
+    engine: merge the change stream, compact with a Morton-interleaved
+    (lsn, conv_id) sort (operators/layout.py) so every rewritten file
+    stays narrow in BOTH dimensions, then range-read the middle fifth
+    of the LSN axis. File pruning happens on the DRIVER against
+    manifest column stats before any Spark planning (Iceberg-style
+    scan planning); the gate asserts files_read < files_total so a
+    pruning regression errors loudly under the driver harness. The row
+    RESULT is pruning-independent (read_range == read().filter by
+    contract), so the oracle is a plain filtered LWW replay."""
+    from ..lake import LakeTable
+    from pyspark.sql import types as T
+
+    ch = _as_changes(_events(spark, sf_dir))
+    schema = T.StructType([f for f in ch.schema.fields if f.name != "op"])
+    root = tempfile.mkdtemp(prefix="cdc_rangeprune_") + "/t"
+    # pin the layout: compaction range-partitions on shuffle.partitions,
+    # and the pruning ratio should not depend on the caller's session
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        t = LakeTable.create(
+            spark, root, schema, ["conv_id", "turn_idx"], ["ts", "lsn"],
+            n_buckets=2, stats_columns=["lsn"],
+        )
+        t.merge_batch(ch, "load-0")
+        t.compact(zorder_by=["lsn", "conv_id"])
+        hi_all = ch.agg(F.max("lsn")).collect()[0][0]
+        lo, hi = (2 * hi_all) // 5, (3 * hi_all) // 5
+        stats: dict = {}
+        out = t.read_range("lsn", lo=lo, hi=hi, stats=stats)
+        assert stats["files_read"] < stats["files_total"], (
+            f"manifest range pruning read every file: {stats}"
+        )
+        return out.select("conv_id", "turn_idx", "role", "text", "ts", "lsn")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def cdc_window_dedup(spark, sf_dir):
     """Window dedup keep-newest per (user, type) — operator U8."""
     ev = _events(spark, sf_dir)
@@ -866,21 +906,18 @@ CORE_REGISTRY = {
         FROM c GROUP BY op
         """,
     ),
-    "t_scrub_sanitize": (
-        t_scrub_sanitize,
-        """
-        WITH c AS (
-          SELECT doc_id, text,
-                 NULLIF(regexp_replace(text || ' <"é"> ',
-                        '[^\\x20-\\x7E]|[''"<>]', '', 'g'), '') AS remote_text
-          FROM documents
-        )
-        SELECT doc_id,
-               regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS clean_text,
-               CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS clean_len,
-               remote_text,
-               CAST(length(remote_text) AS INT) AS remote_len
-        FROM c
+    "cdc_range_prune": (
+        cdc_range_prune,
+        f"""
+        WITH c AS ({_CHANGES_SQL}),
+        mx AS (SELECT max(lsn) AS m FROM c),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM c)
+        SELECT conv_id, turn_idx, role, text, ts, lsn
+        FROM r, mx
+        WHERE rn = 1 AND op <> 'D'
+          AND lsn >= (2 * mx.m) // 5 AND lsn <= (3 * mx.m) // 5
         """,
     ),
     "t_json_extract": (
@@ -1121,32 +1158,6 @@ CORE_REGISTRY = {
         FROM p GROUP BY 1
         """,
     ),
-    "stream_session_counts": (
-        stream_session_counts,
-        """
-        WITH g AS (
-          SELECT user_id, ts, event_id,
-                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
-                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ),
-        s AS (
-          SELECT user_id,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
-          FROM g
-        ),
-        per AS (
-          SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
-          FROM s GROUP BY user_id, session_id
-        )
-        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
-               CAST(max(n_events) AS BIGINT) AS max_session_events,
-               CAST(sum(n_events) AS BIGINT) AS n_events
-        FROM per GROUP BY user_id
-        """,
-    ),
     "sessionize_events": (
         sessionize_events,
         """
@@ -1189,20 +1200,6 @@ CORE_REGISTRY = {
         GROUP BY e.event_type
         """,
     ),
-    "agg_time_rollup": (
-        agg_time_rollup,
-        """
-        SELECT date_trunc('hour', ts) AS hour_start,
-               date_trunc('day', ts) AS day_start,
-               CAST(grouping(date_trunc('hour', ts)) AS INT) AS g_hour,
-               CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY GROUPING SETS ((date_trunc('hour', ts)),
-                                (date_trunc('day', ts)), ())
-        """,
-    ),
     "asof_join_orders": (
         asof_join_orders,
         """
@@ -1240,3 +1237,70 @@ def _reproject_oracle_sql() -> str:
 
 
 CORE_REGISTRY["t_reproject"] = (t_reproject, _reproject_oracle_sql())
+
+# Queries curated OUT of the driver's 50-row gate cap to make room for
+# new operator families (round 4: IVF ANN, the BMP codec, and manifest
+# range pruning replaced these three, whose semantics are redundant with
+# still-registered rows — stream_session_counts shares sessionize_events'
+# oracle, t_scrub_sanitize's legs are covered by text/clean transforms in
+# pytest, agg_time_rollup's grouping sets by rollup_pricing). They remain
+# fully implemented and oracle-checked by tests/test_curated_out.py.
+CURATED_OUT_CORE = {
+    "t_scrub_sanitize": (
+        t_scrub_sanitize,
+        """
+        WITH c AS (
+          SELECT doc_id, text,
+                 NULLIF(regexp_replace(text || ' <"é"> ',
+                        '[^\\x20-\\x7E]|[''"<>]', '', 'g'), '') AS remote_text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS clean_text,
+               CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS clean_len,
+               remote_text,
+               CAST(length(remote_text) AS INT) AS remote_len
+        FROM c
+        """,
+    ),
+    "stream_session_counts": (
+        stream_session_counts,
+        """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        ),
+        per AS (
+          SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(max(n_events) AS BIGINT) AS max_session_events,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM per GROUP BY user_id
+        """,
+    ),
+    "agg_time_rollup": (
+        agg_time_rollup,
+        """
+        SELECT date_trunc('hour', ts) AS hour_start,
+               date_trunc('day', ts) AS day_start,
+               CAST(grouping(date_trunc('hour', ts)) AS INT) AS g_hour,
+               CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('hour', ts)),
+                                (date_trunc('day', ts)), ())
+        """,
+    ),
+}

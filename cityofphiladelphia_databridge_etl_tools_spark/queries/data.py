@@ -97,6 +97,32 @@ def ann_neardup_pairs(spark, sf_dir):
     )
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k (the data-ADAPTIVE sub-quadratic strategy next to
+    the data-independent hyperplane LSH): deterministic k-means
+    codebook (md5-seeded init, 5 Lloyd iterations), inverted lists,
+    2-of-8 cells probed, exact cosine re-rank inside probed lists. The
+    whole pipeline — including training — is replayed by the SQL
+    oracle because every step is integer/md5-seeded and every ranking
+    metric is rounded before its argmin."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2, n_iters=5)
+
+
+def mm_decode_bmp(spark, sf_dir):
+    """REAL image codec path, zero external libs: deterministic 24-bit
+    BMPs are encoded from the documents fixture (real BMP container —
+    BITMAPINFOHEADER, bottom-up BGR rows, 4-byte row padding), then
+    byte-decoded back and feature-extracted (per-channel means over
+    the numpy pixel array) in Arrow-batched mapInPandas. Oracle:
+    every field derives from the construction parameters in SQL —
+    dims from doc_id, byte size from the padded stride, channel means
+    as exact integer-sum/n rationals (bit-identical cross-engine)."""
+    media = MM.encode_bmp24(_docs(spark, sf_dir))
+    return MM.decode_bmp_meta(media)
+
+
 def text_token_count(spark, sf_dir):
     return TX.token_count(_docs(spark, sf_dir))
 
@@ -621,6 +647,125 @@ DATA_REGISTRY["pipeline_training_corpus"] = (pipeline_training_corpus, _CORPUS_S
 _PII_EMAIL, _PII_PHONE, _PII_IP = (
     TX.PII_PATTERNS["email"], TX.PII_PATTERNS["phone"], TX.PII_PATTERNS["ipv4"]
 )
+def _ivf_oracle_sql(n_centroids: int = 8, n_iters: int = 5, n_probe: int = 2, k: int = 5) -> str:
+    """Full SQL replay of ivf_topk INCLUDING codebook training: the
+    md5-seeded init and the rounded-before-argmin ranking metrics make
+    every Lloyd iteration reproducible, so the 5 iterations unroll to
+    5 CTE pairs (assign → update). Channel of truth for determinism:
+    sums of float32-derived doubles here stay exact (value exponent
+    spread << 53 bits), avg is one correctly-rounded division, the
+    REAL cast replays Spark's float32 centroid storage, and round(_, 9)
+    absorbs last-ulp summation-order noise before any argmin."""
+    prev = "c0"
+    iters = []
+    for it in range(1, n_iters + 1):
+        iters.append(f"""
+    a{it} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT t.vec_id, t.centroid_id,
+               row_number() OVER (PARTITION BY t.vec_id
+                                  ORDER BY t.d2 ASC, t.centroid_id ASC) AS rn
+        FROM (
+          SELECT d.vec_id, c.centroid_id,
+                 round(sum((d.val - c.m) * (d.val - c.m)), 9) AS d2
+          FROM d JOIN {prev} c ON c.i = d.i
+          GROUP BY d.vec_id, c.centroid_id
+        ) t
+      ) z WHERE rn = 1
+    ),
+    c{it} AS (
+      SELECT a.centroid_id, d.i, CAST(CAST(avg(d.val) AS REAL) AS DOUBLE) AS m
+      FROM a{it} a JOIN d ON d.vec_id = a.vec_id
+      GROUP BY a.centroid_id, d.i
+    )""")
+        prev = f"c{it}"
+    return f"""
+    WITH d AS (
+      SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    ),
+    c0 AS (
+      SELECT init.centroid_id, d.i, d.val AS m
+      FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id
+        FROM embeddings
+      ) init JOIN d ON d.vec_id = init.vec_id
+      WHERE init.centroid_id <= {n_centroids}
+    ),{",".join(iters)},
+    csim_all AS (
+      SELECT d.vec_id, c.centroid_id,
+             round(sum(d.val * c.m) /
+                   (sqrt(sum(d.val * d.val)) * sqrt(sum(c.m * c.m))), 9) AS csim
+      FROM d JOIN {prev} c ON c.i = d.i
+      GROUP BY d.vec_id, c.centroid_id
+    ),
+    lists AS (
+      SELECT vec_id AS neighbor_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, centroid_id ASC) AS rn
+        FROM csim_all) z WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, centroid_id ASC) AS rn
+        FROM csim_all WHERE vec_id < 10) z WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, l.neighbor_id
+      FROM probes p JOIN lists l ON l.centroid_id = p.centroid_id
+      WHERE p.query_id <> l.neighbor_id
+    ),
+    sc AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(sum(dq.val * dn.val) /
+                   (sqrt(sum(dq.val * dq.val)) * sqrt(sum(dn.val * dn.val))), 4) AS sim
+      FROM cand c
+      JOIN d dq ON dq.vec_id = c.query_id
+      JOIN d dn ON dn.vec_id = c.neighbor_id AND dn.i = dq.i
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sc)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+DATA_REGISTRY["ann_ivf_topk"] = (ann_ivf_topk, _ivf_oracle_sql())
+DATA_REGISTRY["mm_decode_bmp"] = (
+    mm_decode_bmp,
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             COALESCE(length(text), 0) AS L
+      FROM documents
+    ),
+    g AS (
+      SELECT p.doc_id, p.L, x.x AS x, y.y AS y
+      FROM p,
+      LATERAL (SELECT unnest(generate_series(0, p.w - 1)) AS x) x,
+      LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS y) y
+    ),
+    m AS (
+      SELECT doc_id,
+             avg(CAST((x * y + L) % 256 AS DOUBLE)) AS mean_r,
+             avg(CAST((doc_id * 3 + y) % 256 AS DOUBLE)) AS mean_g,
+             avg(CAST((doc_id + x) % 256 AS DOUBLE)) AS mean_b
+      FROM g GROUP BY doc_id
+    )
+    SELECT CAST(p.doc_id AS BIGINT) AS media_id,
+           CAST(54 + ((p.w * 3 + 3) // 4) * 4 * p.h AS BIGINT) AS n_bytes,
+           CAST(p.w AS BIGINT) AS width,
+           CAST(p.h AS BIGINT) AS height,
+           m.mean_r, m.mean_g, m.mean_b
+    FROM p JOIN m ON m.doc_id = p.doc_id
+    """,
+)
+
 DATA_REGISTRY["text_repetition"] = (
     text_repetition,
     """

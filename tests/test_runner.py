@@ -170,8 +170,8 @@ def test_resume_after_pipelined_crash_gap_loses_nothing(spark, tmp_path):
 
     # simulate the torn pipelined run: windows 0-250 and 500-750
     # committed, 250-500 crashed before its commit
-    t.merge_batch(source(0, 250), "lsn-0-250")
-    t.merge_batch(source(500, 750), "lsn-500-750")
+    t.merge_batch(source(0, 250), "lsn-0-250", _lsn_window_issued=True)
+    t.merge_batch(source(500, 750), "lsn-500-750", _lsn_window_issued=True)
 
     r = LsnWindowRunner(t, source, events_per_batch=250)
     assert r.resume_lsn() == 250  # NOT 750
