@@ -7,10 +7,11 @@ local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
   {"metric": ..., "value": events_per_sec, "unit": "events/sec",
    "queries": {name: sec}, "sf": ...}
 
---scaling: runs the identical ingest job at local[8] and local[32] on
-the same input and reports throughput at both plus scaling efficiency
-(the in-sandbox stand-in for the N vs 4N executor criterion), writing
-BENCH/BASELINE.md.
+--scaling: runs the identical ingest job at two parallelism levels
+(default local[2] vs local[8] — see BENCH/BASELINE.md for why) on the
+same staged input, as INTERLEAVED back-to-back pairs whose median
+per-pair efficiency is the headline (the in-sandbox stand-in for the
+N vs 4N executor criterion), writing BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ import shutil
 import sys
 import tempfile
 import time
+import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -58,6 +60,33 @@ def events_for(sf: float) -> int:
 _FAST_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
+def stage_batches(
+    spark, root: str, n_events: int, n_batches: int, text_chars: int = 0
+) -> list[str]:
+    """Write the deterministic change-stream batches to parquet ONCE
+    (idempotent: reuses existing files). Staging BEFORE the clock is
+    the contract everywhere: production ingest reads stored batches
+    (Kafka/S3/CDC files), and feeding the fused synthetic generator
+    straight into the merge lets Catalyst inline the (expensive) text
+    expressions into merge internals — timing the generator, not the
+    engine. Content is a pure function of (seed, absolute lsn), so any
+    session produces identical batches."""
+    from cityofphiladelphia_databridge_etl_tools_spark import changegen
+
+    n_convs = max(1000, n_events // 10)
+    step = n_events // n_batches
+    paths = []
+    for k in range(n_batches):
+        p = f"{root}/in/batch-{k}"
+        if not os.path.exists(p):
+            changegen.changes(
+                spark, step, seed=42, n_convs=n_convs, max_turns=50,
+                hot_frac=0.2, n_hot=3, lsn_start=k * step, text_chars=text_chars,
+            ).write.parquet(p)
+        paths.append(p)
+    return paths
+
+
 def run_ingest(
     spark,
     n_events: int,
@@ -67,50 +96,42 @@ def run_ingest(
     text_chars: int = 0,
     reps: int = 1,
     pipeline_depth: int = 1,
+    stage_root: str | None = None,
 ) -> dict:
     """The headline job: deterministic change stream → LakeTable
     microbatch merges. Returns timing + throughput. A 1/10-size
     warm-up batch (separate table, discarded) precedes measurement so
-    JIT/codegen/classloading don't pollute the steady-state number."""
+    JIT/codegen/classloading don't pollute the steady-state number.
+    ``stage_root`` reuses already-staged input batches (and keeps them
+    for the next call) — the scaling harness stages once and measures
+    many times."""
     import pyspark.sql.functions as F
 
     from cityofphiladelphia_databridge_etl_tools_spark import changegen
     from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
     from cityofphiladelphia_databridge_etl_tools_spark.lake import LakeTable
 
-    root = tempfile.mkdtemp(prefix="bench_ingest_", dir=_FAST_DIR)
+    keep_stage = stage_root is not None
+    root = stage_root or tempfile.mkdtemp(prefix="bench_ingest_", dir=_FAST_DIR)
     n_convs = max(1000, n_events // 10)
 
     def slice_(lo: int, n: int):
-        # per-batch generation via lsn_start: O(batch) work — content
-        # is a pure function of the absolute lsn, so slicing is exact
         return changegen.changes(
             spark, n, seed=42, n_convs=n_convs, max_turns=50,
             hot_frac=0.2, n_hot=3, lsn_start=lo, text_chars=text_chars,
         )
 
-    # Stage every batch to parquet BEFORE the clock starts: production
-    # ingest reads changes from storage (Kafka/S3/CDC files), so the
-    # engine measurement starts at a stored batch. Feeding the fused
-    # synthetic generator straight into the merge also lets Catalyst
-    # inline the (expensive) text-generation expressions into merge
-    # internals that reference the columns — timing the generator, not
-    # the engine.
-    step = n_events // n_batches
-    batch_paths = []
-    for k in range(n_batches):
-        p = f"{root}/in/batch-{k}"
-        slice_(k * step, step).write.parquet(p)
-        batch_paths.append(p)
+    batch_paths = stage_batches(spark, root, n_events, n_batches, text_chars)
 
     if warmup:
         w = LakeTable.create(
-            spark, root + "/warm", TRANSCRIPT_SCHEMA,
+            spark, root + f"/warm-{uuid.uuid4().hex[:6]}", TRANSCRIPT_SCHEMA,
             ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=32,
             bucket_columns=["conv_id"],  # r1/r2-identical layout for comparability
         )
         wp = f"{root}/in/warm"
-        slice_(0, n_events // 10).write.parquet(wp)
+        if not os.path.exists(wp):
+            slice_(0, n_events // 10).write.parquet(wp)
         w.merge_batch(spark.read.parquet(wp), "warm", mode=mode)
 
     # timed section, repeated: this host's effective capacity swings
@@ -118,9 +139,10 @@ def run_ingest(
     # report the best of ``reps`` (each rep merges into a FRESH table)
     rep_secs = []
     rows, read_s = 0, 0.0
+    run_tag = uuid.uuid4().hex[:6]
     for r in range(reps):
         t = LakeTable.create(
-            spark, f"{root}/t{r}", TRANSCRIPT_SCHEMA,
+            spark, f"{root}/t{run_tag}-{r}", TRANSCRIPT_SCHEMA,
             ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=32,
             bucket_columns=["conv_id"],  # r1/r2-identical layout for comparability
         )
@@ -146,12 +168,13 @@ def run_ingest(
             t1 = time.time()
             rows = t.read().count()
             read_s = time.time() - t1
-        shutil.rmtree(f"{root}/t{r}", ignore_errors=True)
+        shutil.rmtree(f"{root}/t{run_tag}-{r}", ignore_errors=True)
     import statistics
 
     ingest_s = min(rep_secs)
     median_s = statistics.median(rep_secs)
-    shutil.rmtree(root, ignore_errors=True)
+    if not keep_stage:
+        shutil.rmtree(root, ignore_errors=True)
     return {
         "n_events": n_events,
         "n_batches": n_batches,
@@ -360,6 +383,8 @@ def raw_cpu_scaling(lo: int, hi: int, duration: float = 5.0) -> dict:
 
 
 def main_scaling():
+    import statistics
+
     sf = _sf_of(SF_DIR)
     # N and 4N parallelism pair. Default 2→8: the sandbox's 32 vCPUs
     # are host-oversubscribed (8→32 raw-CPU scaling ≈ 0.72, i.e. the
@@ -374,26 +399,64 @@ def main_scaling():
     # — ~1-2s, negligible against real cluster batch sizes) don't mask
     # the parallel fraction
     n = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", 2_000_000 * hi))
+    n_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     n_batches = 2
     raw = raw_cpu_scaling(lo, hi)
-    results = {}
-    for cores in (lo, hi):
-        # IDENTICAL partitioning at both parallelism levels — on a real
-        # cluster you change executor count, not the job's partition
-        # sizes. Tying partitions to cores would hand the low side
-        # giant spill-inducing partitions and fake the comparison.
-        spark = make_session(cores, shuffle_partitions=4 * hi)
-        spark.sparkContext.setLogLevel("ERROR")
-        results[cores] = run_ingest(spark, n, n_batches=n_batches, text_chars=512, reps=3)
-        results[cores]["cores"] = cores
-    thr_lo = results[lo]["events_per_sec"]
-    thr_hi = results[hi]["events_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+
+    # Stage the input ONCE with a wide session (content is a pure
+    # function of seed+lsn — identical regardless of staging session).
+    stage_root = tempfile.mkdtemp(prefix="bench_scale_", dir=_FAST_DIR)
+    spark = make_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    stage_batches(spark, stage_root, n, n_batches, text_chars=512)
+
+    # INTERLEAVED PAIRS: this host's effective capacity swings 2x on a
+    # minute scale, so a lo leg and a hi leg measured minutes apart
+    # produce a noise-dominated ratio (history: local[2] ranged
+    # 44k-245k ev/s across r3 runs, with bogus efficiencies 0.50 AND
+    # 1.19). Each (lo, hi) pair runs back-to-back inside one host
+    # phase; the MEDIAN per-pair efficiency is the headline.
+    #
+    # Both legs share one warm JVM (session restart only): a fresh JVM
+    # per leg (per-core heap) was tried and rejected — cold JIT is
+    # amortized by the long lo leg but not the short hi leg, biasing
+    # the ratio DOWN by a proxy artifact. The shared fixed-size heap
+    # biases the same direction (the lo leg's 2 concurrent tasks get
+    # 4x the per-task execution memory of the hi leg's 8; a real
+    # cluster adds heap with executors), so the reported efficiency is
+    # a LOWER bound on the N->4N-executor number.
+    #
+    # IDENTICAL shuffle partitioning at both levels (16*hi — ~37 MB
+    # sort working sets, measured faster at BOTH levels than 4*hi, and
+    # small enough to keep the hi leg's shared-heap spill penalty low)
+    # — on a real cluster you change executor count, not the job's
+    # partition sizes.
+    pair_effs = []
+    runs = {lo: [], hi: []}
+    for rep in range(n_reps):
+        rep_thr = {}
+        for cores in (lo, hi):
+            spark = make_session(cores, shuffle_partitions=16 * hi)
+            spark.sparkContext.setLogLevel("ERROR")
+            r = run_ingest(
+                spark, n, n_batches=n_batches, text_chars=512, reps=1,
+                warmup=(rep == 0), stage_root=stage_root,
+            )
+            rep_thr[cores] = r["events_per_sec"]
+            runs[cores].append(r["events_per_sec"])
+        pair_effs.append(round((rep_thr[hi] / rep_thr[lo]) / (hi / lo), 3))
+    shutil.rmtree(stage_root, ignore_errors=True)
+
+    eff = statistics.median(pair_effs)
+    med_lo = statistics.median(runs[lo])
+    med_hi = statistics.median(runs[hi])
     out = {
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
         "value": round(eff, 3),
         "unit": "ratio",
-        "throughput": {f"local[{lo}]": thr_lo, f"local[{hi}]": thr_hi},
+        "throughput": {f"local[{lo}]": med_lo, f"local[{hi}]": med_hi},
+        "per_pair_efficiency": pair_effs,
+        "per_level_runs": {f"local[{lo}]": runs[lo], f"local[{hi}]": runs[hi]},
         "raw_cpu_ceiling": raw,
         "normalized_vs_host_ceiling": round(min(1.0, eff / max(raw["raw_efficiency"], 1e-9)), 3),
         "n_events": n,
@@ -401,10 +464,13 @@ def main_scaling():
     }
     print(json.dumps(out))
     _append_history(out)
-    _write_baseline_md(lo, hi, n, n_batches, results, thr_lo, thr_hi, eff, raw)
+    _write_baseline_md(lo, hi, n, n_batches, out, raw)
 
 
-def _write_baseline_md(lo, hi, n, n_batches, results, thr_lo, thr_hi, eff, raw):
+def _write_baseline_md(lo, hi, n, n_batches, out, raw):
+    thr_lo = out["throughput"][f"local[{lo}]"]
+    thr_hi = out["throughput"][f"local[{hi}]"]
+    eff = out["value"]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence ({time.strftime('%Y-%m-%d %H:%M')})
@@ -413,39 +479,56 @@ North rule criterion: throughput scaling efficiency >= 0.8 from N to
 4N parallelism, evidenced in-sandbox by the identical ingest job at
 two parallelism levels on the same deterministic input.
 
-| parallelism | events | ingest sec (best of 3) | all reps | events/sec |
-|---|---|---|---|---|
-| local[{lo}] | {n:,} | {results[lo]['ingest_sec']} | {results[lo]['rep_secs']} | {thr_lo:,.0f} |
-| local[{hi}] | {n:,} | {results[hi]['ingest_sec']} | {results[hi]['rep_secs']} | {thr_hi:,.0f} |
+| parallelism | events | all rep throughputs (ev/s) | median ev/s |
+|---|---|---|---|
+| local[{lo}] | {n:,} | {out['per_level_runs'][f'local[{lo}]']} | {thr_lo:,.0f} |
+| local[{hi}] | {n:,} | {out['per_level_runs'][f'local[{hi}]']} | {thr_hi:,.0f} |
 
-**Scaling efficiency ({lo}→{hi} cores): {eff:.3f}** (target >= 0.8)
+**Scaling efficiency ({lo}→{hi} cores): {eff:.3f}** (target >= 0.8) —
+median of per-pair efficiencies {out['per_pair_efficiency']}, each
+pair's two legs measured BACK-TO-BACK inside one host phase.
 
 **Host ceiling (measured concurrently with pure-CPU burner
 processes, no Spark):** raw {lo}→{hi} process scaling on this VM =
 {raw['raw_efficiency']:.3f}. Engine efficiency normalized against the
 hardware ceiling: **{min(1.0, eff / max(raw['raw_efficiency'], 1e-9)):.3f}**.
 
+Why paired measurement: this VM's effective capacity swings ~2x on a
+minute scale (BENCH/history.jsonl: the local[{lo}] leg alone ranged
+44k-245k ev/s across round-3 runs). A lo-leg and a hi-leg measured
+minutes apart therefore produce a noise-dominated ratio in EITHER
+direction (history contains both 0.50 and 1.19). Interleaving the
+legs — lo then hi inside each rep, efficiency per pair, median across
+pairs — cancels the between-phase swing; the per-pair spread above is
+the honest residual uncertainty.
+
+Proxy bias note: both legs run in one shared warm JVM (no cold-JIT
+asymmetry), which means they also share one fixed-size heap — the
+{lo}-core leg's 2 concurrent tasks get {hi}/{lo}x the per-task
+execution memory of the {hi}-core leg's. A real cluster adds heap
+with executors, so this proxy UNDERSTATES the N→4N-executor number;
+the reported efficiency is a conservative lower bound. (A
+fresh-JVM-per-leg variant with per-core heap was tried and rejected:
+cold JIT amortizes over the long lo leg but not the short hi leg,
+biasing the ratio down by a larger artifact in the other layer.)
+
 Why the {lo}→{hi} pair: this sandbox's 32 vCPUs are host-
 oversubscribed — pure-CPU processes scale 8→32 at only ~0.72-0.78
 (32 vCPUs ≈ 23 effective cores), so no job, however perfectly
 parallel, can show 0.8 on that pair here. 2→8 vCPUs map to distinct
-physical cores (raw ~0.94) and expose the engine's true scaling. On a
-real cluster the analogous measurement is executors=N vs 4N.
+physical cores (raw ~0.94-1.0) and expose the engine's true scaling.
 
 Job: merge-on-read CDC ingest, {n_batches} LSN-window microbatches of
 512-char transcript texts, 32-bucket lake table, LWW dedup on
 (ts, lsn), salted writes, commit log + per-bucket watermarks. Input:
 deterministic seeded change stream (changegen.changes, seed=42),
-staged to parquet BEFORE the clock starts (production reads stored
-batches; timing the fused generator measures the generator), identical
-at both parallelism levels, with IDENTICAL shuffle partitioning at
+staged to parquet ONCE before any measurement (production reads
+stored batches; timing the fused generator measures the generator),
+byte-identical for every leg, with IDENTICAL shuffle partitioning at
 both levels (on a cluster you change executors, not the job's
-partition sizes). Each level: one warm-up run, then best of 3 timed
-runs into fresh tables — this host's effective capacity swings
-minute-to-minute (throttle phases), so per-level best is the
-defensible estimator of unthrottled capability (all reps shown
-above). Storage = tmpfs (a single local disk would serialize the
-write path; cluster storage bandwidth scales with executors).
+partition sizes; 16*{hi} partitions keep sort working sets ~37 MB).
+Storage = tmpfs (a single local disk would serialize the write path;
+cluster storage bandwidth scales with executors).
 """)
 
 

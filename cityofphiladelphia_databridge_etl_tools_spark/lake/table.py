@@ -283,7 +283,15 @@ class LakeTable:
 
         Returns the CommitRecord, or None when ``batch_id`` was already
         committed (idempotent replay — ref db2/db2.py:596-655 SCN
-        watermark semantics). mode="mor" appends LWW-deduped delta
+        watermark semantics). Replay detection for ARBITRARY batch ids
+        is a bounded window (the most recent ``id_retention`` commits,
+        default 10,000 — a LakeTable constructor setting): a batch
+        replayed after more intervening commits than that re-applies as
+        duplicates. Use ``LsnWindowRunner`` (whose reserved
+        ``lsn-<lo>-<hi>`` ids are tracked structurally, unbounded) when
+        the upstream can replay arbitrarily late, or size
+        ``id_retention`` above its worst-case replay lag.
+        mode="mor" appends LWW-deduped delta
         files (O(batch) write) and auto-compacts buckets whose delta
         count exceeds ``compact_threshold`` — amortized to the
         ``max_auto_compact_buckets`` worst per trigger so wide ingest

@@ -35,6 +35,11 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=16)
+    if os.environ.get("SPARK_GRAFT_ANSI") == "1":
+        # replicate the driver harness's Spark 4 default (ANSI ON) so
+        # value-level oracle agreement is checked in the caller's
+        # session config, not only the package's pinned one
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
