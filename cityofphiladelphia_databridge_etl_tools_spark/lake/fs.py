@@ -56,8 +56,11 @@ class FileSystem:
         raise NotImplementedError
 
     def is_file(self, path: str) -> bool:
-        """True when path names a file/object (not a directory)."""
-        return self.exists(path)
+        """True when path names a file/object (not a directory).
+        Deliberately abstract: defaulting to ``exists`` would silently
+        classify directories as files in a subclass that overrides
+        ``exists`` but not this."""
+        raise NotImplementedError
 
     def delete(self, path: str) -> None:
         raise NotImplementedError
@@ -236,28 +239,32 @@ def walk_files_parallel(fs: FileSystem, root_dir: str, max_workers: int = 16) ->
     names = fs.listdir(root_dir)
     if not names:
         return fs.walk_files(root_dir)
-    files: list[str] = []
-    prefixes: list[str] = []
-    for n in names:
-        p = os.path.join(root_dir, n)
-        if fs.is_file(p):
-            files.append(p)  # loose top-level files walk as themselves
-        else:
-            prefixes.append(p)
-    if prefixes:
-        from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(max_workers, len(prefixes))) as ex:
-            for part in ex.map(fs.walk_files, prefixes):
-                files.extend(part)
+    def one(prefix: str) -> list[str]:
+        # walk the prefix; an empty walk of an existing OBJECT means the
+        # entry is a loose top-level file — classify inside the pooled
+        # task so no serial per-entry round-trips precede the fan-out
+        found = fs.walk_files(prefix)
+        if found:
+            return found
+        return [prefix] if fs.is_file(prefix) else []
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    files: list[str] = []
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(names))) as ex:
+        for part in ex.map(one, [os.path.join(root_dir, n) for n in names]):
+            files.extend(part)
     return files
 
 
 def mtimes_parallel(fs: FileSystem, paths: list[str], max_workers: int = 16) -> dict[str, float]:
     """Batch ``mtime`` lookups over a thread pool (object-store HEADs
-    are independent round-trips). Missing files map to -inf so callers
-    treat them as 'older than any horizon' (already deleted by a racer
-    — skipping them is always safe)."""
+    are independent round-trips). Missing files map to +inf — i.e.
+    'newer than any horizon' — so age checks of the form
+    ``now - mtime >= horizon`` SKIP them: the file was already deleted
+    by a concurrent actor, and skipping (never re-deleting) is the only
+    always-safe response."""
     if not paths:
         return {}
 
@@ -265,7 +272,7 @@ def mtimes_parallel(fs: FileSystem, paths: list[str], max_workers: int = 16) -> 
         try:
             return p, fs.mtime(p)
         except FileNotFoundError:
-            return p, float("-inf")
+            return p, float("inf")
 
     from concurrent.futures import ThreadPoolExecutor
 

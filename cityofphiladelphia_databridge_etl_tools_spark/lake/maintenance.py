@@ -132,21 +132,43 @@ class CompactionScheduler:
             self.races_lost += 1
             return False
 
-    def _loop(self) -> None:
+    @staticmethod
+    def _is_read_race(e: BaseException) -> bool:
+        """Transient concurrent-maintenance races surface in two forms:
+        planning-time AnalysisException (files listed from a stale
+        manifest no longer exist), or EXECUTION-time task failures
+        (Py4JJavaError / SparkException wrapping FileNotFoundException)
+        when the files vanish after planning. Both resolve on the next
+        cycle against fresh state; neither is an operator-actionable
+        failure. Classified by exception text because the JVM cause
+        chain is not portably typed through py4j."""
         from pyspark.errors.exceptions.base import AnalysisException
 
+        if isinstance(e, AnalysisException):
+            return True
+        msg = str(e)
+        return any(
+            marker in msg
+            for marker in (
+                "FileNotFoundException",
+                "PATH_NOT_FOUND",
+                "FILE_NOT_EXIST",
+                "does not exist",
+            )
+        )
+
+    def _loop(self) -> None:
         while not self._stop.wait(self.interval_s):
             try:
                 self._cycle()
-            except AnalysisException:
-                # transient read race: a bucket's files were replaced
-                # between plan and execution — resolves next cycle
-                self.races_lost += 1
             except Exception as e:  # noqa: BLE001 — maintenance must
                 # never kill ingest, but an UNEXPECTED failure must not
                 # hide as race noise either: count it, keep it, log it,
                 # and keep cycling (deltas keep accumulating until an
                 # operator inspects .errors/.last_error)
-                self.errors += 1
-                self.last_error = e
-                _log.warning("compaction cycle failed unexpectedly: %r", e)
+                if self._is_read_race(e):
+                    self.races_lost += 1
+                else:
+                    self.errors += 1
+                    self.last_error = e
+                    _log.warning("compaction cycle failed unexpectedly: %r", e)

@@ -169,3 +169,46 @@ def test_gc_orphans_parallel_listing_same_semantics(spark, tmp_path):
         full = full.unionByName(changegen.changes(spark, 200, seed=50 + k, lsn_start=k * 200))
     from tests.test_lake_merge import assert_df_equal
     assert_df_equal(t.read(), changegen.expected_final_state(full))
+
+
+def test_gc_skips_files_deleted_by_concurrent_actor(spark, tmp_path):
+    """Two maintenance actors race: a file listed by this GC pass but
+    deleted by another actor before its age check must be SKIPPED
+    (missing → 'newer than any horizon'), not crash the pass with
+    FileNotFoundError and not be re-deleted."""
+    from cityofphiladelphia_databridge_etl_tools_spark.lake.fs import (
+        LocalFS, mtimes_parallel,
+    )
+
+    lfs = LocalFS()
+    live = str(tmp_path / "live.parquet")
+    ghost = str(tmp_path / "ghost.parquet")
+    lfs.write_text(live, "x")
+    mt = mtimes_parallel(lfs, [live, ghost])  # ghost never existed
+    now = __import__("time").time()
+    assert now - mt[live] < 600          # fresh → grace period skips it
+    assert not (now - mt[ghost] >= 0)    # missing → -inf age → skipped
+    # end-to-end: GC survives a racer deleting a planted orphan mid-pass
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=4,
+    )
+    t.merge_batch(changegen.changes(spark, 100, seed=60), "b0")
+    orphan = str(tmp_path / "t/data/snap-dead/x.parquet")
+    lfs.makedirs(os.path.dirname(orphan))
+    lfs.write_text(orphan, "junk")
+    from cityofphiladelphia_databridge_etl_tools_spark.lake import fs as fsmod
+    orig = fsmod.mtimes_parallel
+
+    def racing(fs, paths, **kw):
+        for p in list(paths):  # the racer wins the delete
+            if p.endswith("x.parquet") and os.path.exists(p):
+                os.unlink(p)
+        return orig(fs, paths, **kw)
+
+    fsmod.mtimes_parallel = racing
+    try:
+        removed = t.gc_orphans(older_than_s=0.0)  # must not raise
+    finally:
+        fsmod.mtimes_parallel = orig
+    assert all("x.parquet" not in r for r in removed)
