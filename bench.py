@@ -78,7 +78,11 @@ def stage_batches(
     paths = []
     for k in range(n_batches):
         p = f"{root}/in/batch-{k}"
-        if not os.path.exists(p):
+        # reuse only a COMPLETE staging write: a crash mid-parquet
+        # leaves the directory present but no _SUCCESS marker — re-stage
+        # rather than silently reusing a truncated input batch
+        if not os.path.exists(f"{p}/_SUCCESS"):
+            shutil.rmtree(p, ignore_errors=True)
             changegen.changes(
                 spark, step, seed=42, n_convs=n_convs, max_turns=50,
                 hot_frac=0.2, n_hot=3, lsn_start=k * step, text_chars=text_chars,
@@ -130,7 +134,8 @@ def run_ingest(
             bucket_columns=["conv_id"],  # r1/r2-identical layout for comparability
         )
         wp = f"{root}/in/warm"
-        if not os.path.exists(wp):
+        if not os.path.exists(f"{wp}/_SUCCESS"):  # see stage_batches
+            shutil.rmtree(wp, ignore_errors=True)
             slice_(0, n_events // 10).write.parquet(wp)
         w.merge_batch(spark.read.parquet(wp), "warm", mode=mode)
 
@@ -490,7 +495,11 @@ def _interleaved_history_section(lo, hi) -> str:
     try:
         with open("BENCH/history.jsonl") as f:
             for line in f:
-                r = json.loads(line)
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # one malformed line must not abort the
+                    # BASELINE.md write after a long measurement
                 if "per_pair_efficiency" in r and f"{lo}_to_{hi}" in r.get("metric", ""):
                     rows.append(r)
     except FileNotFoundError:

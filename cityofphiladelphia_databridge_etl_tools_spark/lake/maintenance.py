@@ -57,6 +57,7 @@ class CompactionScheduler:
         threshold: int = 16,
         max_buckets_per_cycle: int = 4,
         interval_s: float = 1.0,
+        race_escalate_after: int = 20,
     ):
         self.table = table
         self.threshold = threshold
@@ -71,6 +72,14 @@ class CompactionScheduler:
         # masquerading as benign race noise while deltas pile up
         self.errors = 0
         self.last_error: BaseException | None = None
+        # a GENUINE read race resolves within a cycle or two once the
+        # racing writer commits; this many consecutive race-classified
+        # failures with zero successful cycles in between means the
+        # "race" is actually persistent (e.g. a data root that was
+        # deleted out from under the table) and must surface as an
+        # error, not accumulate silently as race noise
+        self.race_escalate_after = race_escalate_after
+        self._race_streak = 0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -141,11 +150,10 @@ class CompactionScheduler:
         when the files vanish after planning. Both resolve on the next
         cycle against fresh state; neither is an operator-actionable
         failure. Classified by exception text because the JVM cause
-        chain is not portably typed through py4j."""
-        from pyspark.errors.exceptions.base import AnalysisException
-
-        if isinstance(e, AnalysisException):
-            return True
+        chain is not portably typed through py4j — and ONLY by
+        file-missing markers: a generic AnalysisException (column
+        resolution, bad plan) is an operator-actionable error, not
+        race noise, so it is deliberately NOT matched here."""
         msg = str(e)
         return any(
             marker in msg
@@ -153,7 +161,8 @@ class CompactionScheduler:
                 "FileNotFoundException",
                 "PATH_NOT_FOUND",
                 "FILE_NOT_EXIST",
-                "does not exist",
+                "Path does not exist",
+                "[PATH_NOT_FOUND]",
             )
         )
 
@@ -161,6 +170,7 @@ class CompactionScheduler:
         while not self._stop.wait(self.interval_s):
             try:
                 self._cycle()
+                self._race_streak = 0  # any completed cycle resets it
             except Exception as e:  # noqa: BLE001 — maintenance must
                 # never kill ingest, but an UNEXPECTED failure must not
                 # hide as race noise either: count it, keep it, log it,
@@ -168,6 +178,19 @@ class CompactionScheduler:
                 # operator inspects .errors/.last_error)
                 if self._is_read_race(e):
                     self.races_lost += 1
+                    self._race_streak += 1
+                    if self._race_streak >= self.race_escalate_after:
+                        # N consecutive race-classified failures with no
+                        # successful cycle in between: a real race would
+                        # have resolved — escalate to the error channel
+                        self.errors += 1
+                        self.last_error = e
+                        self._race_streak = 0
+                        _log.warning(
+                            "compaction read-race persisted %d consecutive "
+                            "cycles — escalating as error: %r",
+                            self.race_escalate_after, e,
+                        )
                 else:
                     self.errors += 1
                     self.last_error = e

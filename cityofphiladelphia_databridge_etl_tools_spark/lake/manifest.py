@@ -172,6 +172,13 @@ class Manifest:
     # (beyond the order column) — powers manifest-level range pruning
     # (LakeTable.read_range) without touching any parquet footer
     stats_columns: list[str] = field(default_factory=list)
+    # PERSISTED exactly-once window for arbitrary batch ids: when set
+    # (LakeTable.create(id_retention=...)), every handle folds
+    # applied_ids with THIS window regardless of its own ctor value —
+    # two writers opened with different handle-level retentions would
+    # otherwise truncate the replay-detection window inconsistently.
+    # None = legacy table: the handle's MetaStore.id_retention governs.
+    id_retention: int | None = None
 
     def copy(self) -> "Manifest":
         """Structure-sharing copy: containers are fresh, entries
@@ -196,6 +203,7 @@ class Manifest:
             lsn_pending=[list(w) for w in self.lsn_pending],
             bucket_columns=list(self.bucket_columns) if self.bucket_columns else None,
             stats_columns=list(self.stats_columns),
+            id_retention=self.id_retention,
         )
 
     @property
@@ -344,7 +352,11 @@ def apply_delta(
         bucket_files=bucket_files,
         commits=commits,
         watermarks=watermarks,
-        applied_ids=(parent.applied_ids + new_ids)[-id_retention:],
+        # the table-persisted window (if any) wins over the handle's,
+        # so every writer truncates applied_ids identically
+        applied_ids=(parent.applied_ids + new_ids)[
+            -(parent.id_retention if parent.id_retention is not None else id_retention):
+        ],
         cursors=cursors,
         tombstone_gc_lsn=(
             delta.tombstone_gc_lsn
@@ -355,6 +367,7 @@ def apply_delta(
         lsn_pending=pending,
         bucket_columns=delta.new_bucket_columns or parent.bucket_columns,
         stats_columns=parent.stats_columns,
+        id_retention=parent.id_retention,
     )
 
 

@@ -111,7 +111,14 @@ class LakeTable:
         after more than ``id_retention`` intervening commits is no
         longer recognized and would re-apply. Size it above the
         worst-case replay lag of any at-least-once upstream, or use
-        LsnWindowRunner ids. See also :meth:`merge_batch`."""
+        LsnWindowRunner ids. See also :meth:`merge_batch`.
+
+        A table created with ``LakeTable.create(id_retention=...)``
+        PERSISTS the window in its manifest, and the persisted value
+        overrides this handle-level one (manifest.apply_delta) — so
+        two writers opened with different ctor values still truncate
+        applied_ids identically. The ctor param only governs legacy
+        tables whose manifest predates the field."""
         self.spark = spark
         self.store = MetaStore(root, id_retention=id_retention)
         if not self.store.exists():
@@ -129,6 +136,7 @@ class LakeTable:
         n_buckets: int = 16,
         bucket_columns: list[str] | None = None,
         stats_columns: list[str] | None = None,
+        id_retention: int | None = None,
     ) -> "LakeTable":
         """``bucket_columns`` picks which key columns the key→bucket
         hash covers (must be a subset of ``key_columns`` so LWW stays
@@ -168,9 +176,15 @@ class LakeTable:
             watermarks={},
             bucket_columns=bucket_columns,
             stats_columns=[c for c in (stats_columns or []) if c in schema.names],
+            # persisted so EVERY handle folds applied_ids with the same
+            # window (see __init__); None = inherit each handle's default
+            id_retention=id_retention,
         )
         store.commit(manifest)
-        return cls(spark, root)
+        return cls(
+            spark, root,
+            **({"id_retention": id_retention} if id_retention is not None else {}),
+        )
 
     # ------------------------------------------------------------- metadata
     @property

@@ -17,6 +17,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Default ubiquitous-shingle cap for the Jaccard verify join: a shingle
+# shared by more than this many documents contributes sum(df²) pairs to
+# the self-join — one boilerplate shingle in 10⁶ docs is 10¹² candidate
+# rows at web scale. 10⁴ keeps every shingle's pair contribution ≤ 10⁸
+# (one shuffle partition's worth) while being far above any honest
+# content shingle's document frequency. Pass ``max_doc_freq=None``
+# explicitly to disable (exact ground-truth runs at bounded scale).
+DEFAULT_MAX_DOC_FREQ = 10_000
+
+# sentinel distinguishing "caller didn't say" (→ default cap) from an
+# explicit None (→ uncapped)
+_UNSET = object()
+
 
 def tokens(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
@@ -97,11 +110,19 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    sh: DataFrame, max_doc_freq: int | None = None, pairs: DataFrame | None = None
+    sh: DataFrame, max_doc_freq=_UNSET, pairs: DataFrame | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle (optionally
     restricted to given candidate ``pairs``). ``max_doc_freq`` drops
-    ubiquitous shingles from the join key set (scale guard)."""
+    ubiquitous shingles from the JOIN KEY set (the sum(df²) self-join
+    scale guard) — it defaults ON (:data:`DEFAULT_MAX_DOC_FREQ`); pass
+    ``None`` explicitly for an uncapped exact run. Jaccard denominators
+    always use the FULL per-doc shingle counts; the cap only excludes
+    ubiquitous shingles from intersection counting, so at any df ≤ cap
+    the result is exact and above it a vanishing underestimate (a df >
+    10⁴ shingle contributes ~0 discriminative signal)."""
+    if max_doc_freq is _UNSET:
+        max_doc_freq = DEFAULT_MAX_DOC_FREQ
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     join_sh = sh
     if max_doc_freq is not None:

@@ -224,11 +224,22 @@ def stream_hourly_counts(spark, sf_dir):
     return run_windowed_counts(spark, sf_dir)
 
 
-_JACCARD_TAIL = """
+# mirrors operators.dedup.jaccard_pairs' DEFAULT ubiquitous-shingle
+# cap (DEFAULT_MAX_DOC_FREQ): intersections count only shingles whose
+# document frequency is <= the cap; sizes (denominators) stay FULL —
+# the oracle stays in sync with the production default, not just the
+# uncapped special case
+_JACCARD_TAIL = f"""
+  shj AS (
+    SELECT sh.id, sh.shingle FROM sh
+    JOIN (SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) <= {D.DEFAULT_MAX_DOC_FREQ}) rare
+      USING (shingle)
+  ),
   sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
   common AS (
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.id < b.id
     GROUP BY 1, 2
   )
 """

@@ -7,10 +7,12 @@ full / merge_batch), not in the sink."""
 
 from __future__ import annotations
 
+import hashlib
 import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def publish_csv_gzip(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -65,3 +67,122 @@ def foreach_partition_batched(df: DataFrame, send, batch_size: int = 500) -> Non
             send(buf)
 
     df.foreachPartition(run)
+
+
+def deliver_batched_reliable(
+    df: DataFrame,
+    send,
+    batch_size: int = 500,
+    max_retries: int = 5,
+    backoff_s: float = 0.05,
+    backoff_factor: float = 2.0,
+    dead_letter_base: str | None = None,
+) -> dict:
+    """K6/K9 completed (ref: ago/ago.py:716-931 — the 5-try machine
+    with doubled-up-count reconciliation): retrying, reconciling,
+    dead-lettering delivery of ``df`` to a remote batch sink.
+
+    Per batch of ``batch_size`` rows:
+
+    - a DETERMINISTIC idempotency token (md5 of the batch's serialized
+      content) accompanies every attempt — retries (wrapper-level AND
+      Spark task retries) resend the same token, so a receiver that
+      dedups on it gets exactly-once while the wire contract stays
+      at-least-once (the reference reconciles doubled-up rows by
+      count; a content token is the set-wise version of that);
+    - ``send(rows, token)`` is attempted up to ``max_retries`` times
+      with exponential backoff (``backoff_s * backoff_factor**k``);
+    - a batch that exhausts retries goes to the dead-letter sink
+      (rows + ``_error``/``_token`` columns) and the pipeline
+      CONTINUES — the reference's -errors.txt semantics (ago.py:319).
+
+    Returns reconciliation stats:
+    ``{"sent_rows", "failed_rows", "batches", "retried_batches",
+    "attempts", "dead_letter_path"}`` — ``sent_rows + failed_rows``
+    must equal ``df.count()`` (the at-least-once ledger; tests pin it
+    under 30% injected sink failure).
+
+    Scale shape: delivery work and retry state are per-executor (one
+    Python worker per partition, Arrow-batched in); the driver only
+    aggregates metadata-sized counters and writes the (small) failed
+    remainder. No ``collect()`` of payload rows."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("_error", T.StringType()),
+            T.StructField("_token", T.StringType()),
+        ]
+    )
+    counters = df.sparkSession.sparkContext
+    sent_acc = counters.accumulator(0)
+    failed_acc = counters.accumulator(0)
+    batch_acc = counters.accumulator(0)
+    retry_acc = counters.accumulator(0)
+    attempt_acc = counters.accumulator(0)
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        def deliver(batch: "pd.DataFrame"):
+            """One batch through the retry machine; returns the failed
+            batch with error columns, or None on success."""
+            token = hashlib.md5(
+                batch.to_csv(index=False).encode("utf-8", "surrogatepass")
+            ).hexdigest()[:20]
+            batch_acc.add(1)
+            rows = batch.to_dict("records")
+            delay = backoff_s
+            last_err = None
+            for attempt in range(max_retries):
+                attempt_acc.add(1)
+                if attempt == 1:
+                    retry_acc.add(1)
+                if attempt > 0:
+                    time.sleep(delay)
+                    delay *= backoff_factor
+                try:
+                    send(rows, token)
+                    sent_acc.add(len(rows))
+                    return None
+                except Exception as e:  # noqa: BLE001 — remote sink
+                    # failures are data, not control flow: classify at
+                    # the END of the retry budget, never crash the job
+                    last_err = e
+            failed_acc.add(len(rows))
+            failed = batch.copy()
+            failed["_error"] = repr(last_err)
+            failed["_token"] = token
+            return failed
+
+        # re-batch arrow chunks to exactly batch_size (tail excepted):
+        # the token is content-derived, so batch framing must be
+        # deterministic across retries of the whole Spark task too
+        pending = None
+        for pdf in pdf_iter:
+            pdf = pd.concat([pending, pdf], ignore_index=True) if pending is not None else pdf
+            n_full = (len(pdf) // batch_size) * batch_size
+            for lo in range(0, n_full, batch_size):
+                out = deliver(pdf.iloc[lo : lo + batch_size].reset_index(drop=True))
+                if out is not None:
+                    yield out
+            pending = pdf.iloc[n_full:].reset_index(drop=True) if n_full < len(pdf) else None
+        if pending is not None and len(pending):
+            out = deliver(pending)
+            if out is not None:
+                yield out
+
+    failed_df = df.mapInPandas(run, out_schema)
+    dead_letter_path = None
+    if dead_letter_base is not None:
+        # materializes exactly once — delivery happens HERE
+        dead_letter_path = dead_letter(failed_df, dead_letter_base)
+    else:
+        failed_df.count()  # materialize: delivery happens HERE
+    return {
+        "sent_rows": sent_acc.value,
+        "failed_rows": failed_acc.value,
+        "batches": batch_acc.value,
+        "retried_batches": retry_acc.value,
+        "attempts": attempt_acc.value,
+        "dead_letter_path": dead_letter_path,
+    }

@@ -859,3 +859,76 @@ def test_read_range_incomparable_bound_degrades_to_no_prune(spark, tmp_path):
     out = t.read_range("lsn", lo="0", hi="10", stats=stats2)
     assert stats2["files_read"] == stats2["files_total"]
     assert out.count() >= 0  # planning + execution both survive
+
+
+def test_create_forwards_and_persists_id_retention(spark, tmp_path):
+    """ADVICE r4: LakeTable.create(id_retention=...) both configures
+    the returned handle AND persists the window in the manifest, so a
+    handle opened later with the DEFAULT ctor value still truncates
+    applied_ids with the created window."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ret"), TRANSCRIPT_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], order_columns=["ts", "lsn"],
+        n_buckets=4, bucket_columns=["conv_id"], id_retention=2,
+    )
+    assert t.manifest.id_retention == 2
+    for k in range(4):
+        t.merge_batch(changegen.changes(spark, 50, seed=90 + k), f"rb-{k}")
+    assert len(t.manifest.applied_ids) == 2
+
+    other = LakeTable(spark, str(tmp_path / "ret"))  # default ctor window
+    other.merge_batch(changegen.changes(spark, 50, seed=99), "rb-x")
+    assert len(other.manifest.applied_ids) == 2  # persisted window wins
+
+
+def test_read_race_classifier_is_file_missing_only(spark, tmp_path):
+    """ADVICE r4: _is_read_race must classify ONLY file-missing shapes
+    as benign race noise — a column-resolution AnalysisException is an
+    operator-actionable error and must land in .errors, and a
+    persistent 'race' escalates after race_escalate_after consecutive
+    failed cycles instead of incrementing races_lost forever."""
+    import time as _time
+
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    from cityofphiladelphia_databridge_etl_tools_spark.lake.maintenance import (
+        CompactionScheduler,
+    )
+
+    t = make_table(spark, tmp_path)
+    # classifier: file-missing shapes are races ...
+    assert CompactionScheduler._is_read_race(
+        Exception("java.io.FileNotFoundException: /x/y.parquet")
+    )
+    assert CompactionScheduler._is_read_race(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist: file:/gone")
+    )
+    # ... but a generic AnalysisException (column resolution) is NOT
+    assert not CompactionScheduler._is_read_race(
+        AnalysisException(
+            "[UNRESOLVED_COLUMN.WITH_SUGGESTION] A column or function "
+            "parameter with name `nope` cannot be resolved."
+        )
+    )
+
+    # escalation: a file-missing failure that never resolves must fire
+    # the error channel after race_escalate_after consecutive cycles
+    sched = CompactionScheduler(t, interval_s=0.01, race_escalate_after=5)
+    boom = RuntimeError("java.io.FileNotFoundException: perpetually gone")
+
+    def exploding_cycle(drain=False):
+        raise boom
+
+    sched._cycle = exploding_cycle
+    sched.start()
+    try:
+        deadline = _time.time() + 5
+        while sched.errors == 0 and _time.time() < deadline:
+            _time.sleep(0.02)
+    finally:
+        sched._stop.set()
+        sched._thread.join()
+        sched._thread = None
+    assert sched.errors >= 1
+    assert sched.last_error is boom
+    assert sched.races_lost >= 5  # the pre-escalation cycles still counted

@@ -295,3 +295,30 @@ def test_fold_lsn_windows_property_matches_set_oracle():
                 assert ((f"lsn-{wlo}-{whi}" in view) == ((wlo, whi) in committed))
 
     check()
+
+
+def test_persisted_id_retention_wins_over_handle(mk_store):
+    """ADVICE r4: the exactly-once window persisted in the manifest
+    governs applied_ids truncation for EVERY handle, regardless of
+    each handle's ctor-level id_retention — two writers opened with
+    different retentions must fold identically."""
+    m0 = base_manifest()
+    m0.id_retention = 3
+    store_a = mk_store(id_retention=10_000)
+    store_a.commit(m0)
+    m = store_a.read_current()
+    for v in range(1, 7):
+        m = store_a.commit_delta(m, make_delta(v))
+    assert m.id_retention == 3  # survives apply_delta propagation
+    assert len(m.applied_ids) == 3  # persisted window, not the handle's
+
+    # a second handle with a DIFFERENT ctor retention sees and applies
+    # the same persisted window
+    store_b = mk_store(id_retention=1)
+    got = store_b.read_current()
+    assert got.id_retention == 3
+    m2 = store_b.commit_delta(got, make_delta(7))
+    assert len(m2.applied_ids) == 3
+
+    # legacy tables (no persisted value) still honor the handle's
+    assert base_manifest().id_retention is None

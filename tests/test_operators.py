@@ -446,3 +446,57 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
         full.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
     assert hits_full == exact.count(), "probing every cell must equal brute force"
+
+
+def test_jaccard_ubiquitous_shingle_cap_defaults_on(spark):
+    """VERDICT r4 #3: the sum(df²) scale guard must be the DEFAULT on
+    the production verify path, not opt-in. A shingle shared by more
+    docs than the cap is excluded from intersection counting (the
+    self-join key set) while denominators keep full shingle counts;
+    max_doc_freq=None restores the uncapped exact ground truth."""
+    # two docs: 4 shared shingles if uncapped. Make ONE shared shingle
+    # ubiquitous by adding cap+ filler docs that all contain it.
+    base = [
+        (1, "a b c d e f"),   # shingles: abc bcd cde def
+        (2, "a b c d e f"),   # identical → jaccard 1.0 uncapped
+    ]
+    filler = [(100 + i, "a b c x%d" % i) for i in range(4)]  # all contain "a b c"
+    docs = spark.createDataFrame(base + filler, "doc_id long, text string")
+    sh = D.doc_shingles(docs)
+
+    # cap below "a b c"'s df (6): it drops OUT of the join keys
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(sh, max_doc_freq=5).collect()
+    }
+    # docs 1,2 still pair via their 3 rare shared shingles; the
+    # denominator keeps all 4 shingles → 3/(4+4-3)
+    assert capped[(1, 2)] == 0.6
+    # filler docs shared ONLY the ubiquitous shingle → no pair at all
+    assert not any(a >= 100 and b >= 100 for (a, b) in capped)
+
+    # uncapped ground truth: identical docs are 1.0 and filler docs pair
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(sh, max_doc_freq=None).collect()
+    }
+    assert uncapped[(1, 2)] == 1.0
+    assert any(a >= 100 and b >= 100 for (a, b) in uncapped)
+
+    # the DEFAULT is the capped path with DEFAULT_MAX_DOC_FREQ — at df
+    # below the default cap it equals the exact result
+    assert D.DEFAULT_MAX_DOC_FREQ == 10_000
+    default_out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(sh).collect()
+    }
+    assert default_out == uncapped  # all dfs here ≤ 10⁴
+
+    # and the capped semantics hold on the candidate-restricted
+    # (verify) path too — the one the production pipeline runs
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    verify = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(sh, max_doc_freq=5, pairs=cand).collect()
+    }
+    assert verify == {(1, 2): 0.6}
