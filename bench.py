@@ -198,13 +198,15 @@ def run_ingest(
 def run_lifecycle(
     spark,
     n_events: int,
-    n_windows: int = 32,
+    n_windows: int = 8,
     pipeline_depth: int = 4,
     offpath: bool = False,
+    reps: int = 3,
+    stage_root: str | None = None,
 ) -> dict:
     """Steady-state lifecycle soak (the BENCH/SOAK.md scenario scaled
-    to the per-round budget): many small LSN windows through the
-    RUNNER with compaction inside the clock, two maintenance modes:
+    to the per-round budget): LSN windows through the RUNNER with
+    compaction inside the clock, two maintenance modes:
 
     - ``offpath=False``: inline auto-compaction ON the ingest path
       (default thresholds — the worst case), then a terminal compact;
@@ -213,10 +215,16 @@ def run_lifecycle(
       (lake/maintenance.py), drained before the clock stops.
 
     Wall-clock covers ingest + ALL maintenance either way — the honest
-    sustained number, vs the burst headline."""
+    sustained number, vs the burst headline. MEDIAN of ``reps`` full
+    passes (each into a fresh table; staged input shared): the r4
+    artifact single-shotted this after minutes of load on a host whose
+    capacity swings 2× on a minute scale and printed a phantom 3×
+    regression (61k ev/s) that the dedicated 40M soak (533k ev/s,
+    BENCH/SOAK.md) contradicted. Window size matches the dedicated
+    soak's methodology (events/n_windows ≥ 500k at sf0.1) so the two
+    artifacts measure the same amortization regime."""
     import pyspark.sql.functions as F  # noqa: F401
 
-    from cityofphiladelphia_databridge_etl_tools_spark import changegen
     from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
     from cityofphiladelphia_databridge_etl_tools_spark.lake import (
         CompactionScheduler,
@@ -224,55 +232,138 @@ def run_lifecycle(
     )
     from cityofphiladelphia_databridge_etl_tools_spark.streaming.runner import LsnWindowRunner
 
-    root = tempfile.mkdtemp(prefix="bench_soak_", dir=_FAST_DIR)
-    n_convs = max(1000, n_events // 10)
+    keep_stage = stage_root is not None
+    root = stage_root or tempfile.mkdtemp(prefix="bench_soak_", dir=_FAST_DIR)
     step = n_events // n_windows
-    paths = {}
-    for k in range(n_windows):
-        p = f"{root}/in/w-{k}"
-        changegen.changes(
-            spark, step, seed=42, n_convs=n_convs, max_turns=50,
-            hot_frac=0.2, n_hot=3, lsn_start=k * step,
-        ).write.parquet(p)
-        paths[k * step] = p
+    batch_paths = stage_batches(spark, root, n_events, n_windows)
+    paths = {k * step: batch_paths[k] for k in range(n_windows)}
 
-    t = LakeTable.create(
-        spark, f"{root}/t", TRANSCRIPT_SCHEMA,
-        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=32,
-        bucket_columns=["conv_id"],
-    )
-    runner = LsnWindowRunner(
-        t, lambda lo, hi: spark.read.parquet(paths[lo]), events_per_batch=step,
-        merge_kwargs={"compact_threshold": 10**9} if offpath else None,
-    )
-    sched = CompactionScheduler(t, threshold=16, interval_s=0.5) if offpath else None
-    t0 = time.time()
-    if sched:
-        sched.start()
-    runner.run_until(n_windows * step, pipeline_depth=pipeline_depth)
-    if sched:
-        sched.stop(drain=True)  # drain INSIDE the clock — maintenance counted
-    else:
-        t.compact()  # terminal maintenance inside the clock
-    soak_s = time.time() - t0
-    rows = t.read().count()
-    n_deltas = sum(
-        1 for v in t.manifest.bucket_files.values() for e in v if e[2] == "delta"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    import statistics
+
+    rep_out = []
+    run_tag = uuid.uuid4().hex[:6]
+    for r in range(reps):
+        t = LakeTable.create(
+            spark, f"{root}/soak-{run_tag}-{r}", TRANSCRIPT_SCHEMA,
+            ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=32,
+            bucket_columns=["conv_id"],
+        )
+        runner = LsnWindowRunner(
+            t, lambda lo, hi: spark.read.parquet(paths[lo]), events_per_batch=step,
+            merge_kwargs={"compact_threshold": 10**9} if offpath else None,
+        )
+        sched = CompactionScheduler(t, threshold=16, interval_s=0.5) if offpath else None
+        t0 = time.time()
+        if sched:
+            sched.start()
+        runner.run_until(n_windows * step, pipeline_depth=pipeline_depth)
+        if sched:
+            sched.stop(drain=True)  # drain INSIDE the clock — maintenance counted
+        else:
+            t.compact()  # terminal maintenance inside the clock
+        soak_s = time.time() - t0
+        rows = t.read().count()
+        n_deltas = sum(
+            1 for v in t.manifest.bucket_files.values() for e in v if e[2] == "delta"
+        )
+        rep_out.append(
+            {
+                "sec": soak_s,
+                "rows": rows,
+                "deltas": n_deltas,
+                "cycles": sched.cycles if sched else None,
+                "buckets": sched.buckets_compacted if sched else None,
+            }
+        )
+        shutil.rmtree(f"{root}/soak-{run_tag}-{r}", ignore_errors=True)
+    if not keep_stage:
+        shutil.rmtree(root, ignore_errors=True)
+
+    med_s = statistics.median(x["sec"] for x in rep_out)
+    last = rep_out[-1]
     pfx = "soak_offpath" if offpath else "soak"
     out = {
         f"{pfx}_events": n_windows * step,
         f"{pfx}_windows": n_windows,
-        f"{pfx}_sec": round(soak_s, 2),
-        f"{pfx}_events_per_sec": round(n_windows * step / soak_s, 1),
-        f"{pfx}_final_rows": rows,
-        f"{pfx}_residual_delta_files": n_deltas,
+        f"{pfx}_sec": round(med_s, 2),
+        f"{pfx}_rep_secs": [round(x["sec"], 2) for x in rep_out],
+        f"{pfx}_events_per_sec": round(n_windows * step / med_s, 1),
+        f"{pfx}_final_rows": last["rows"],
+        f"{pfx}_residual_delta_files": last["deltas"],
     }
-    if sched:
-        out[f"{pfx}_compaction_cycles"] = sched.cycles
-        out[f"{pfx}_buckets_compacted"] = sched.buckets_compacted
+    if last["cycles"] is not None:
+        out[f"{pfx}_compaction_cycles"] = last["cycles"]
+        out[f"{pfx}_buckets_compacted"] = last["buckets"]
     return out
+
+
+def pruning_ratio_metrics(spark) -> dict:
+    """VERDICT r4 #8: the pruning RATIO as a first-class, trendable
+    bench metric. Builds a z-ordered lake table from the change stream
+    (the cdc_range_prune layout), then records
+
+    - ``range``: manifest-stat file pruning for a middle-fifth LSN
+      range read ({files_total, files_read, ratio});
+    - ``point``: manifest bucket pruning for a read_key point lookup
+      ({files_total, files_in_bucket, buckets_total} — the lookup
+      plans against ONE bucket's files, driver-side, no Spark job).
+
+    Fixed layout knobs (32 shuffle partitions, 2 buckets, zorder on
+    (lsn, conv_id)) so the ratio is comparable round over round."""
+    from cityofphiladelphia_databridge_etl_tools_spark import changegen
+    from cityofphiladelphia_databridge_etl_tools_spark.lake import LakeTable
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    root = tempfile.mkdtemp(prefix="bench_prune_", dir=_FAST_DIR)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        ch = changegen.changes(spark, 200_000, seed=42, n_convs=20_000)
+        schema = T.StructType([f for f in ch.schema.fields if f.name != "op"])
+        t = LakeTable.create(
+            spark, f"{root}/t", schema, ["conv_id", "turn_idx"], ["ts", "lsn"],
+            n_buckets=2, bucket_columns=["conv_id"], stats_columns=["lsn"],
+        )
+        t.merge_batch(ch, "prune-load")
+        t.compact(zorder_by=["lsn", "conv_id"])
+        stats: dict = {}
+        t.read_range("lsn", lo=80_000, hi=120_000, stats=stats).count()
+        # same range read against a single-axis (lsn-sorted) layout:
+        # the upper bound on range pruning, vs zorder's balanced trade
+        t.compact(sort_by=["lsn"])
+        sorted_stats: dict = {}
+        t.read_range("lsn", lo=80_000, hi=120_000, stats=sorted_stats).count()
+        m = t.manifest
+        files_total = sum(len(v) for v in m.bucket_files.values())
+        some_key = ch.select("conv_id").first()["conv_id"]
+        t.read_key({"conv_id": some_key, "turn_idx": 0})  # plans driver-side
+        from cityofphiladelphia_databridge_etl_tools_spark.lake.keyhash import bucket_of
+
+        b = bucket_of([str(some_key)], m.n_buckets)
+        files_in_bucket = len(m.bucket_files.get(str(b), []))
+        return {
+            "range": {
+                "files_total": stats["files_total"],
+                "files_read": stats["files_read"],
+                "ratio": round(stats["files_read"] / max(stats["files_total"], 1), 3),
+            },
+            "range_lsn_sorted": {
+                "files_total": sorted_stats["files_total"],
+                "files_read": sorted_stats["files_read"],
+                "ratio": round(
+                    sorted_stats["files_read"] / max(sorted_stats["files_total"], 1), 3
+                ),
+            },
+            "point": {
+                "files_total": files_total,
+                "files_in_bucket": files_in_bucket,
+                "buckets_total": m.n_buckets,
+            },
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _append_history(payload: dict) -> None:
@@ -332,9 +423,18 @@ def main_default():
     # second headline: sustained lifecycle throughput with maintenance
     # INSIDE the clock — the steady-state number a 24/7 ingest actually
     # sees — in both maintenance modes (inline worst-case vs the
-    # background CompactionScheduler off the ingest path)
-    soak = run_lifecycle(spark, events_for(sf), n_windows=16)
-    soak.update(run_lifecycle(spark, events_for(sf), n_windows=16, offpath=True))
+    # background CompactionScheduler off the ingest path). Median-of-3
+    # per mode, staged input shared across modes and reps.
+    soak_stage = tempfile.mkdtemp(prefix="bench_soakstage_", dir=_FAST_DIR)
+    try:
+        soak = run_lifecycle(spark, events_for(sf), stage_root=soak_stage)
+        soak.update(
+            run_lifecycle(spark, events_for(sf), offpath=True, stage_root=soak_stage)
+        )
+    finally:
+        shutil.rmtree(soak_stage, ignore_errors=True)
+
+    pruning = pruning_ratio_metrics(spark)
 
     out = {
         "metric": "cdc_merge_apply_throughput",
@@ -349,6 +449,7 @@ def main_default():
         "soak": soak,
         "soak_events_per_sec": soak["soak_events_per_sec"],
         "soak_offpath_events_per_sec": soak["soak_offpath_events_per_sec"],
+        "pruning": pruning,
         "cpus": CPUS,
     }
     print(json.dumps(out))

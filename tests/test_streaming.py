@@ -103,3 +103,88 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     q3.awaitTermination(120)
     full = stream.unionByName(late)
     assert_df_equal(t.read(), changegen.expected_final_state(full))
+
+
+def test_stream_schema_evolution_across_restart(spark, tmp_path):
+    """VERDICT r4 #6: schema evolution through the STREAMING path.
+    Epoch boundary 1: upstream adds a column (`tool`) — the restart
+    re-infers the union schema via mergeSchema. Epoch boundary 2:
+    upstream WIDENS a column (`score` int→long) — the restart gets the
+    feed schema explicitly (parquet footer merge can't reconcile
+    int/long). Both times the same checkpoint resumes: already-
+    committed files are not re-read, merge_batch evolves the TABLE in
+    place, and the final state equals a batch replay of the full
+    stream through the same engine."""
+    from pyspark.sql import types as T
+
+    changes_dir = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    stream = changegen.changes(spark, 3000, seed=29)
+
+    third = [
+        stream.filter((F.col("lsn") >= k * 1000) & (F.col("lsn") < (k + 1) * 1000))
+        for k in range(3)
+    ]
+    # phase 0: narrow feed — no `tool`, int score
+    p0 = third[0].drop("tool").withColumn(
+        "score", (F.col("lsn") % 100).cast("int")
+    )
+    # phase 1: `tool` column appears
+    p1 = third[1].withColumn("score", (F.col("lsn") % 100).cast("int"))
+    # phase 2: score WIDENS to long (values beyond int range)
+    p2 = third[2].withColumn(
+        "score", (F.col("lsn") + 4_000_000_000).cast("long")
+    )
+    p0.coalesce(1).write.parquet(f"{changes_dir}/p0", mode="overwrite")
+
+    table_schema = T.StructType(
+        [f for f in p0.schema.fields if f.name != "op"]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), table_schema,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8,
+    )
+
+    q = stream_changes_into_table(spark, changes_dir + "/*", t, ckpt)
+    q.awaitTermination(120)
+    assert "tool" not in t.read().columns
+
+    # ---- restart 1: add-column evolution via merged inference
+    p1.coalesce(1).write.parquet(f"{changes_dir}/p1", mode="overwrite")
+    commits_before = t.manifest.version
+    q = stream_changes_into_table(spark, changes_dir + "/*", t, ckpt)
+    q.awaitTermination(120)
+    assert "tool" in t.read().columns  # table evolved mid-stream
+    assert t.manifest.version > commits_before
+
+    # ---- restart 2: widening evolution via explicit feed schema
+    p2.coalesce(1).write.parquet(f"{changes_dir}/p2", mode="overwrite")
+    q = stream_changes_into_table(
+        spark, changes_dir + "/*", t, ckpt, schema=p2.schema
+    )
+    q.awaitTermination(120)
+    final_schema = {f.name: f.dataType for f in t.read().schema.fields}
+    assert isinstance(final_schema["score"], T.LongType)  # widened
+
+    # ---- idle restart: nothing new → no new commits (exactly-once)
+    v = t.manifest.version
+    q = stream_changes_into_table(
+        spark, changes_dir + "/*", t, ckpt, schema=p2.schema
+    )
+    q.awaitTermination(120)
+    assert t.manifest.version == v
+
+    # ---- final-state equality vs a batch replay of the same stream
+    # through the same engine (the batch path is oracle-verified)
+    ref = LakeTable.create(
+        spark, str(tmp_path / "ref"), table_schema,
+        ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=8,
+    )
+    ref.merge_batch(p0, "r0")
+    ref.merge_batch(p1, "r1")
+    ref.merge_batch(p2, "r2")
+    assert_df_equal(t.read(), ref.read().select(*t.read().columns))
+    # pre-evolution rows read back with null tool; widened ints intact
+    got = t.read()
+    assert got.filter(F.col("score") > 2_147_483_647).count() > 0
+    assert got.filter(F.col("tool").isNull()).count() > 0
