@@ -506,7 +506,13 @@ def main_scaling():
     # the parallel fraction
     n = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", 2_000_000 * hi))
     n_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-    n_batches = 2
+    # 4 windows (not 2) at depth 2: with windows == depth the pipeline
+    # is ALL ramp-up and straggler tail; doubling the window count
+    # keeps a full work queue for half the run, and the fixed tail is
+    # a smaller share of the (longer-in-proportion) hi leg
+    n_batches = int(os.environ.get("SPARK_GRAFT_SCALE_BATCHES", "4"))
+    depth = int(os.environ.get("SPARK_GRAFT_SCALE_DEPTH", "2"))
+    parts_mult = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS_MULT", "16"))
     raw = raw_cpu_scaling(lo, hi)
 
     # Stage the input ONCE with a wide session (content is a pure
@@ -538,11 +544,12 @@ def main_scaling():
     # — on a real cluster you change executor count, not the job's
     # partition sizes.
     pair_effs = []
+    pair_raw = []
     runs = {lo: [], hi: []}
     for rep in range(n_reps):
         rep_thr = {}
         for cores in (lo, hi):
-            spark = make_session(cores, shuffle_partitions=16 * hi)
+            spark = make_session(cores, shuffle_partitions=parts_mult * hi)
             spark.sparkContext.setLogLevel("ERROR")
             # pipeline_depth=2: the engine's PRODUCTION ingestion mode
             # (the headline bench runs depth 4), identical at both
@@ -554,11 +561,16 @@ def main_scaling():
             # what a real deployment runs.
             r = run_ingest(
                 spark, n, n_batches=n_batches, text_chars=512, reps=1,
-                warmup=(rep == 0), stage_root=stage_root, pipeline_depth=2,
+                warmup=(rep == 0), stage_root=stage_root, pipeline_depth=depth,
             )
             rep_thr[cores] = r["events_per_sec"]
             runs[cores].append(r["events_per_sec"])
         pair_effs.append(round((rep_thr[hi] / rep_thr[lo]) / (hi / lo), 3))
+        # PER-PAIR host control, measured immediately after the pair:
+        # classifies each pair's host phase individually (the run-level
+        # control can be minutes stale by the last pair), so the pooled
+        # healthy-pair estimator filters steal-affected pairs precisely
+        pair_raw.append(raw_cpu_scaling(lo, hi, duration=2.0)["raw_efficiency"])
     shutil.rmtree(stage_root, ignore_errors=True)
 
     eff = statistics.median(pair_effs)
@@ -574,7 +586,10 @@ def main_scaling():
         ),
         "throughput": {f"local[{lo}]": med_lo, f"local[{hi}]": med_hi},
         "per_pair_efficiency": pair_effs,
+        "per_pair_raw": pair_raw,
         "per_level_runs": {f"local[{lo}]": runs[lo], f"local[{hi}]": runs[hi]},
+        "config": {"n_batches": n_batches, "depth": depth,
+                   "shuffle_partitions": parts_mult * hi},
         "raw_cpu_ceiling": raw,
         "normalized_vs_host_ceiling": round(min(1.0, eff / max(raw["raw_efficiency"], 1e-9)), 3),
         "n_events": n,
@@ -611,22 +626,35 @@ def _interleaved_history_section(lo, hi) -> str:
         "",
         "## Every interleaved run (none discarded)",
         "",
-        "| at | median eff | per-pair | raw-CPU control | methodology |",
-        "|---|---|---|---|---|",
+        "| at | median eff | per-pair | per-pair raw control | run raw control | methodology |",
+        "|---|---|---|---|---|---|",
     ]
     counted = []
     for r in rows:
         meth = r.get("methodology", "interleaved-shared-jvm")
         lines.append(
             f"| {r.get('at', '?')} | {r['value']} | {r['per_pair_efficiency']} "
+            f"| {r.get('per_pair_raw', '—')} "
             f"| {r['raw_cpu_ceiling']['raw_efficiency']} | {meth} |"
         )
         if meth.startswith("interleaved-shared-jvm"):
             counted.append(r)
+
+    def pair_controls(r):
+        """Each pair's own host control where recorded (newer runs);
+        the run-level control otherwise (pre-r5 history)."""
+        ppr = r.get("per_pair_raw")
+        n = len(r["per_pair_efficiency"])
+        if ppr and len(ppr) == n:
+            return ppr
+        return [r["raw_cpu_ceiling"]["raw_efficiency"]] * n
+
     all_pairs = [p for r in counted for p in r["per_pair_efficiency"]]
     healthy = [
-        p for r in counted for p in r["per_pair_efficiency"]
-        if r["raw_cpu_ceiling"]["raw_efficiency"] >= 0.95
+        p
+        for r in counted
+        for p, c in zip(r["per_pair_efficiency"], pair_controls(r))
+        if c >= 0.95
     ]
     if all_pairs:
         lines += [
