@@ -521,6 +521,12 @@ def main_scaling():
     spark = make_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     stage_batches(spark, stage_root, n, n_batches, text_chars=512)
+    # settle gap after the 32-core staging burst: the first pair's lo
+    # leg repeatedly measured 1.5-2x slow right after staging (runs at
+    # 09:51/10:50: lo 117k/136k vs 210-232k steady) — consistent with
+    # hypervisor steal trailing a burst. A short idle lets it drain.
+    settle = float(os.environ.get("SPARK_GRAFT_SCALE_SETTLE", "15"))
+    time.sleep(settle)
 
     # INTERLEAVED PAIRS: this host's effective capacity swings 2x on a
     # minute scale, so a lo leg and a hi leg measured minutes apart
@@ -566,6 +572,7 @@ def main_scaling():
             rep_thr[cores] = r["events_per_sec"]
             runs[cores].append(r["events_per_sec"])
         pair_effs.append(round((rep_thr[hi] / rep_thr[lo]) / (hi / lo), 3))
+        time.sleep(min(settle, 5.0))  # inter-pair settle, same rationale
         # PER-PAIR host control, measured immediately after the pair:
         # classifies each pair's host phase individually (the run-level
         # control can be minutes stale by the last pair), so the pooled
@@ -656,15 +663,45 @@ def _interleaved_history_section(lo, hi) -> str:
         for p, c in zip(r["per_pair_efficiency"], pair_controls(r))
         if c >= 0.95
     ]
+    # the ESTIMATOR pools only pairs measured under the CURRENT
+    # harness configuration (work-queue window count, depth, partition
+    # sizing — recorded per run in `config`): earlier configurations
+    # (sequential batches, windows == depth) measure a different job
+    # shape with known-lower efficiency, so mixing them estimates
+    # nothing. They all remain in the table above — nothing discarded.
+    cur = [
+        r for r in counted
+        if r.get("config", {}).get("n_batches", 2) >= 4
+        and r.get("config", {}).get("depth") == 2
+    ]
+    cur_pairs = [p for r in cur for p in r["per_pair_efficiency"]]
+    cur_healthy = [
+        p
+        for r in cur
+        for p, c in zip(r["per_pair_efficiency"], pair_controls(r))
+        if c >= 0.95
+    ]
     if all_pairs:
         lines += [
             "",
-            f"Pooled median of all {len(all_pairs)} shared-JVM pairs: "
-            f"**{statistics.median(all_pairs):.3f}**."
+            f"Pooled median of all {len(all_pairs)} shared-JVM pairs across "
+            f"every configuration ever tried: **{statistics.median(all_pairs):.3f}**."
             + (
-                f" Median of the {len(healthy)} pairs from runs whose raw-CPU "
-                f"control was healthy (>= 0.95): **{statistics.median(healthy):.3f}**."
+                f" All-configuration healthy-control pairs ({len(healthy)}): "
+                f"**{statistics.median(healthy):.3f}**."
                 if healthy else ""
+            ),
+        ]
+    if cur_pairs:
+        lines += [
+            "",
+            f"**Headline estimator — current configuration (depth-2 pipelined, "
+            f"4-window work queue): pooled median of {len(cur_pairs)} pairs = "
+            f"{statistics.median(cur_pairs):.3f}**"
+            + (
+                f"; healthy-host-control pairs only ({len(cur_healthy)}): "
+                f"**{statistics.median(cur_healthy):.3f}**."
+                if cur_healthy else "."
             ),
         ]
     lines += [
