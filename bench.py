@@ -198,7 +198,7 @@ def run_ingest(
 def run_lifecycle(
     spark,
     n_events: int,
-    n_windows: int = 8,
+    n_windows: int = 4,
     pipeline_depth: int = 4,
     offpath: bool = False,
     reps: int = 3,
@@ -221,8 +221,11 @@ def run_lifecycle(
     capacity swings 2× on a minute scale and printed a phantom 3×
     regression (61k ev/s) that the dedicated 40M soak (533k ev/s,
     BENCH/SOAK.md) contradicted. Window size matches the dedicated
-    soak's methodology (events/n_windows ≥ 500k at sf0.1) so the two
-    artifacts measure the same amortization regime."""
+    soak's methodology EXACTLY (1M events/window at sf0.1 —
+    scripts/soak.py's unit) so the two artifacts measure the same
+    amortization regime; the offpath (background-scheduler) figure is
+    the one comparable to SOAK.md's steady state, inline
+    auto-compaction being the documented worst case."""
     import pyspark.sql.functions as F  # noqa: F401
 
     from cityofphiladelphia_databridge_etl_tools_spark.changegen import TRANSCRIPT_SCHEMA
@@ -708,11 +711,15 @@ def _interleaved_history_section(lo, hi) -> str:
         "",
         "Per-pair outliers in BOTH directions coincide with depressed",
         "ABSOLUTE throughput on one leg (hypervisor steal landing inside",
-        "that leg's window) — e.g. a 1.28 pair whose lo leg ran at half",
-        "speed, and sub-0.5 pairs whose hi leg did. The per-run median",
-        "absorbs single-pair hits; the pooled medians above aggregate",
-        "across host phases and so UNDERSTATE a steal-free environment,",
-        "where the cleanest-control runs sit (0.78-0.87 pairs).",
+        "that leg's window) — e.g. >1.0 pairs whose lo leg ran at half",
+        "speed, and sub-0.72 pairs whose hi leg did. Two harness fixes",
+        "removed most of the spread: a settle idle after the 32-core",
+        "staging burst (the first pair's lo leg had measured 1.5-2x slow",
+        "in its shadow), and 24M-event legs long enough that a single",
+        "steal burst cannot dominate the short hi leg. The pooled",
+        "medians aggregate across host phases and so UNDERSTATE a",
+        "steal-free environment, where the cleanest-control invocation",
+        "sits (0.85-1.0 pairs).",
         "",
     ]
     return "\n".join(lines)
