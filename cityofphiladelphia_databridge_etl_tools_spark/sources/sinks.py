@@ -54,7 +54,9 @@ def foreach_partition_batched(df: DataFrame, send, batch_size: int = 500) -> Non
     """K6 (ref: ago.py:477-713 per-row loop with 500-row flushes): the
     set-wise version — each partition iterates Rows, flushing
     ``send(list_of_rows)`` every batch_size. Network work distributes
-    across executors instead of one Python loop."""
+    across executors instead of one Python loop. Fire-and-forget; for
+    retries, idempotency tokens, dead-lettering and count
+    reconciliation use :func:`deliver_batched_reliable`."""
 
     def run(it):
         buf = []

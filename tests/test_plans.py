@@ -165,3 +165,17 @@ def test_read_after_compact_has_no_window(spark, tmp_path):
     assert "Window" in formatted_plan(t.read())  # MOR deltas → resolve
     t.compact()
     assert "Window" not in formatted_plan(t.read())
+
+
+def test_doc_shingles_splits_text_exactly_once(spark):
+    """The shingle pipeline's tokenization must stay behind a
+    projection boundary: if Catalyst's CollapseProject ever re-inlines
+    the split() into the higher-order shingle lambda, every produced
+    shingle re-tokenizes the document — O(tokens²) per doc (measured
+    6× slower at sf0.1 before the r5 fix). Guard the optimized plan:
+    split appears exactly once, in a Project below the Generate."""
+    from cityofphiladelphia_databridge_etl_tools_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = D.doc_shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
