@@ -154,6 +154,19 @@ class CompactionScheduler:
         file-missing markers: a generic AnalysisException (column
         resolution, bad plan) is an operator-actionable error, not
         race noise, so it is deliberately NOT matched here."""
+        # prefer the JVM exception CLASS CHAIN when py4j exposes it —
+        # class names survive locale/version changes that message text
+        # does not; fall back to text markers otherwise
+        je = getattr(e, "java_exception", None)
+        if je is not None:
+            try:
+                cause = je
+                while cause is not None:
+                    if "FileNotFoundException" in cause.getClass().getName():
+                        return True
+                    cause = cause.getCause()
+            except Exception:  # noqa: BLE001 — gateway hiccups fall
+                pass  # through to text matching
         msg = str(e)
         return any(
             marker in msg
@@ -162,7 +175,6 @@ class CompactionScheduler:
                 "PATH_NOT_FOUND",
                 "FILE_NOT_EXIST",
                 "Path does not exist",
-                "[PATH_NOT_FOUND]",
             )
         )
 

@@ -353,9 +353,11 @@ def apply_delta(
         commits=commits,
         watermarks=watermarks,
         # the table-persisted window (if any) wins over the handle's,
-        # so every writer truncates applied_ids identically
+        # so every writer truncates applied_ids identically; max(1, ·)
+        # defends legacy manifests against a persisted 0 (slice [-0:]
+        # would keep everything — see MetaStore.__init__ validation)
         applied_ids=(parent.applied_ids + new_ids)[
-            -(parent.id_retention if parent.id_retention is not None else id_retention):
+            -max(1, parent.id_retention if parent.id_retention is not None else id_retention):
         ],
         cursors=cursors,
         tombstone_gc_lsn=(
@@ -398,7 +400,11 @@ class MetaStore:
         self.snapshot_interval = snapshot_interval
         self.commit_retention = commit_retention
         # exactly-once replay-detection window for ARBITRARY batch ids;
-        # lsn-window ids are exempt (tracked structurally, unbounded)
+        # lsn-window ids are exempt (tracked structurally, unbounded).
+        # Must be >= 1: a 0 would make the [-window:] fold keep the
+        # ENTIRE list (unbounded growth), the opposite of a zero window.
+        if id_retention < 1:
+            raise ValueError(f"id_retention must be >= 1, got {id_retention}")
         self.id_retention = id_retention
         self._cache: Manifest | None = None
 

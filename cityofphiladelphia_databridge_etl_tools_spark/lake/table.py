@@ -154,6 +154,8 @@ class LakeTable:
         for k in list(key_columns) + list(order_columns):
             if k not in schema.names:
                 raise ValueError(f"key/order column {k!r} not in schema")
+        if id_retention is not None and id_retention < 1:
+            raise ValueError(f"id_retention must be >= 1, got {id_retention}")
         bucket_columns = list(bucket_columns) if bucket_columns else list(key_columns)
         if not set(bucket_columns) <= set(key_columns):
             raise ValueError(

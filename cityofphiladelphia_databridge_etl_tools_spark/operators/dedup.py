@@ -118,7 +118,9 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    sh: DataFrame, max_doc_freq=_UNSET, pairs: DataFrame | None = None
+    sh: DataFrame,
+    max_doc_freq: "int | None | object" = _UNSET,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle (optionally
     restricted to given candidate ``pairs``). ``max_doc_freq`` drops
@@ -128,7 +130,14 @@ def jaccard_pairs(
     always use the FULL per-doc shingle counts; the cap only excludes
     ubiquitous shingles from intersection counting, so at any df ≤ cap
     the result is exact and above it a vanishing underestimate (a df >
-    10⁴ shingle contributes ~0 discriminative signal)."""
+    10⁴ shingle contributes ~0 discriminative signal).
+
+    .. versionchanged:: round 5
+       The default flipped from uncapped to capped at
+       :data:`DEFAULT_MAX_DOC_FREQ` (10_000). Callers with legitimate
+       shingle document frequencies above 10⁴ who need exact
+       intersections there must now pass ``max_doc_freq=None`` (or a
+       larger cap) explicitly."""
     if max_doc_freq is _UNSET:
         max_doc_freq = DEFAULT_MAX_DOC_FREQ
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

@@ -86,12 +86,19 @@ def deliver_batched_reliable(
 
     Per batch of ``batch_size`` rows:
 
-    - a DETERMINISTIC idempotency token (md5 of the batch's serialized
-      content) accompanies every attempt — retries (wrapper-level AND
-      Spark task retries) resend the same token, so a receiver that
-      dedups on it gets exactly-once while the wire contract stays
-      at-least-once (the reference reconciles doubled-up rows by
-      count; a content token is the set-wise version of that);
+    - a DETERMINISTIC idempotency token — md5 of (partition id,
+      in-partition batch ordinal, serialized batch content) —
+      accompanies every attempt. Retries (wrapper-level AND Spark task
+      retries) resend the same token, so a receiver that dedups on it
+      gets exactly-once while the wire contract stays at-least-once
+      (the reference reconciles doubled-up rows by count; a token is
+      the set-wise version of that). The partition id + ordinal give
+      the token a BATCH IDENTITY, not just content identity: two
+      distinct batches whose serialized content happens to be equal
+      (e.g. duplicate rows in a CDC feed filling two full batches)
+      carry different tokens and are both delivered. Both components
+      are deterministic across task retries because the wrapper
+      re-batches arrow chunks to a fixed framing below;
     - ``send(rows, token)`` is attempted up to ``max_retries`` times
       with exponential backoff (``backoff_s * backoff_factor**k``);
     - a batch that exhausts retries goes to the dead-letter sink
@@ -100,9 +107,17 @@ def deliver_batched_reliable(
 
     Returns reconciliation stats:
     ``{"sent_rows", "failed_rows", "batches", "retried_batches",
-    "attempts", "dead_letter_path"}`` — ``sent_rows + failed_rows``
-    must equal ``df.count()`` (the at-least-once ledger; tests pin it
-    under 30% injected sink failure).
+    "attempts", "dead_letter_path"}`` — ``sent_rows + failed_rows ==
+    df.count()`` EXACTLY: ``failed_rows`` is counted from the
+    materialized failed output (not an accumulator) and ``sent_rows``
+    is input minus failed, so the ledger holds even when Spark retries
+    or speculatively re-executes tasks. ``batches`` /
+    ``retried_batches`` / ``attempts`` are accumulator-based
+    diagnostics and may OVER-count under task retry/speculation
+    (transformation-side accumulators are at-least-once); treat them
+    as approximate. The input is scanned twice (one count-only job +
+    the delivery job) — cache upstream if it is expensive to
+    recompute.
 
     Scale shape: delivery work and retry state are per-executor (one
     Python worker per partition, Arrow-batched in); the driver only
@@ -116,21 +131,29 @@ def deliver_batched_reliable(
         ]
     )
     counters = df.sparkSession.sparkContext
-    sent_acc = counters.accumulator(0)
-    failed_acc = counters.accumulator(0)
     batch_acc = counters.accumulator(0)
     retry_acc = counters.accumulator(0)
     attempt_acc = counters.accumulator(0)
 
     def run(pdf_iter):
         import pandas as pd
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        partition_id = tc.partitionId() if tc is not None else -1
+        ordinal = 0  # in-partition batch ordinal; deterministic given
+        # the enforced re-batching below, so retried tasks re-derive
+        # identical tokens
 
         def deliver(batch: "pd.DataFrame"):
             """One batch through the retry machine; returns the failed
             batch with error columns, or None on success."""
+            nonlocal ordinal
             token = hashlib.md5(
-                batch.to_csv(index=False).encode("utf-8", "surrogatepass")
+                f"{partition_id}:{ordinal}:".encode()
+                + batch.to_csv(index=False).encode("utf-8", "surrogatepass")
             ).hexdigest()[:20]
+            ordinal += 1
             batch_acc.add(1)
             rows = batch.to_dict("records")
             delay = backoff_s
@@ -144,13 +167,11 @@ def deliver_batched_reliable(
                     delay *= backoff_factor
                 try:
                     send(rows, token)
-                    sent_acc.add(len(rows))
                     return None
                 except Exception as e:  # noqa: BLE001 — remote sink
                     # failures are data, not control flow: classify at
                     # the END of the retry budget, never crash the job
                     last_err = e
-            failed_acc.add(len(rows))
             failed = batch.copy()
             failed["_error"] = repr(last_err)
             failed["_token"] = token
@@ -173,16 +194,21 @@ def deliver_batched_reliable(
             if out is not None:
                 yield out
 
-    failed_df = df.mapInPandas(run, out_schema)
-    dead_letter_path = None
-    if dead_letter_base is not None:
-        # materializes exactly once — delivery happens HERE
-        dead_letter_path = dead_letter(failed_df, dead_letter_base)
-    else:
-        failed_df.count()  # materialize: delivery happens HERE
+    total_rows = df.count()  # count-only job; no delivery side effects
+    failed_df = df.mapInPandas(run, out_schema).persist()
+    try:
+        # materialize ONCE via the exact count — delivery happens HERE;
+        # the dead-letter write below reuses the cached result (a cache
+        # eviction would redeliver, which the idempotency tokens absorb)
+        n_failed = failed_df.count()
+        dead_letter_path = None
+        if dead_letter_base is not None:
+            dead_letter_path = dead_letter(failed_df, dead_letter_base)
+    finally:
+        failed_df.unpersist()
     return {
-        "sent_rows": sent_acc.value,
-        "failed_rows": failed_acc.value,
+        "sent_rows": total_rows - n_failed,
+        "failed_rows": n_failed,
         "batches": batch_acc.value,
         "retried_batches": retry_acc.value,
         "attempts": attempt_acc.value,

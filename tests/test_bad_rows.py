@@ -161,3 +161,46 @@ def test_reliable_delivery_dead_letters_exhausted_batches(spark, tmp_path):
             received += json.load(f)
     got = sorted(r["id"] for r in received) + [r["id"] for r in dead.collect()]
     assert sorted(got) == list(range(2000))
+
+
+def test_identical_content_batches_get_distinct_tokens(spark, tmp_path):
+    """ADVICE r5 (medium): two DISTINCT batches with byte-identical
+    serialized content (duplicate rows in a CDC feed filling multiple
+    full batches) must carry DIFFERENT idempotency tokens — a
+    token-deduping receiver must keep both batches' rows, and the
+    ledger must still reconcile exactly."""
+    import json
+    import os
+
+    recv_dir = str(tmp_path / "recv3")
+    os.makedirs(recv_dir)
+
+    from cityofphiladelphia_databridge_etl_tools_spark.sources.sinks import (
+        deliver_batched_reliable,
+    )
+
+    def store_send(rows, token):
+        # token-deduping receiver: last write per token wins
+        with open(os.path.join(recv_dir, token), "w") as f:
+            json.dump(rows, f, default=str)
+
+    # 1000 byte-identical rows in ONE partition -> 10 batches of 100
+    # whose serialized content is identical across batches
+    df = (
+        spark.range(1000)
+        .select(F.lit(7).alias("id"), F.lit("same-payload").alias("payload"))
+        .repartition(1)
+    )
+    stats = deliver_batched_reliable(df, store_send, batch_size=100, max_retries=2)
+
+    assert stats["failed_rows"] == 0
+    assert stats["sent_rows"] == 1000
+    assert stats["batches"] == 10
+    # 10 distinct tokens on disk, 100 rows each: nothing collapsed
+    files = os.listdir(recv_dir)
+    assert len(files) == 10
+    total = 0
+    for name in files:
+        with open(os.path.join(recv_dir, name)) as f:
+            total += len(json.load(f))
+    assert total == 1000

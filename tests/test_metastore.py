@@ -322,3 +322,17 @@ def test_persisted_id_retention_wins_over_handle(mk_store):
 
     # legacy tables (no persisted value) still honor the handle's
     assert base_manifest().id_retention is None
+
+
+def test_id_retention_zero_rejected(mk_store, tmp_path):
+    """ADVICE r5: id_retention=0 would make the [-0:] fold keep the
+    ENTIRE applied_ids list (unbounded growth). Both entry points
+    reject it."""
+    import pytest as _pytest
+
+    from cityofphiladelphia_databridge_etl_tools_spark.lake.manifest import MetaStore
+
+    with _pytest.raises(ValueError, match="id_retention"):
+        MetaStore(str(tmp_path / "t0"), id_retention=0)
+    with _pytest.raises(ValueError, match="id_retention"):
+        MetaStore(str(tmp_path / "t1"), id_retention=-5)
