@@ -121,6 +121,9 @@ class LakeTable:
         tables whose manifest predates the field."""
         self.spark = spark
         self.store = MetaStore(root, id_retention=id_retention)
+        # diagnostics: commit races this HANDLE lost and rebased (the
+        # multi-writer contention soak reads it; not persisted)
+        self.commit_races_lost = 0
         if not self.store.exists():
             raise FileNotFoundError(f"no lake table at {root} (use LakeTable.create)")
 
@@ -495,6 +498,7 @@ class LakeTable:
                 self.store.commit_delta(m, delta)
                 break
             except ConcurrentCommitError:
+                self.commit_races_lost += 1
                 fresh = self.store.read_current()
                 if batch_id in fresh.applied_batch_ids:
                     # a racing writer (or our own crashed predecessor)

@@ -53,11 +53,23 @@ class LsnWindowRunner:
         their (committed) batch ids."""
         return self.table.manifest.lsn_contig_hi
 
-    def run_until(self, until_lsn: int, pipeline_depth: int = 1) -> list[CommitRecord]:
+    def run_until(
+        self,
+        until_lsn: int,
+        pipeline_depth: int = 1,
+        from_lsn: int | None = None,
+    ) -> list[CommitRecord]:
         """Apply consecutive windows up to (not incl.) until_lsn.
         Safe to call after a crash mid-run: committed windows are
         skipped by their batch ids; a half-written window (files but
         no log record) is orphaned and re-merged.
+
+        ``from_lsn`` pins the start of the window sequence instead of
+        the resumed contiguous prefix — for SHARDED ingest, where each
+        of several writer processes owns a disjoint ``[from, until)``
+        lsn range of the same table (the commit log's CAS arbitrates
+        their interleaved commits; batch ids keep re-runs
+        exactly-once). Default (None) resumes a single logical stream.
 
         ``pipeline_depth > 1`` submits that many windows concurrently
         from driver threads, so one window's shuffle/sort/write
@@ -69,7 +81,7 @@ class LsnWindowRunner:
         guard. LWW ordering is (ts, lsn), not commit order, so the
         final state is independent of commit interleaving."""
         windows = []
-        lo = self.resume_lsn()
+        lo = self.resume_lsn() if from_lsn is None else from_lsn
         while lo < until_lsn:
             hi = min(lo + self.events_per_batch, until_lsn)
             windows.append((lo, hi))
