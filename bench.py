@@ -398,6 +398,30 @@ def ann_recall_metrics(spark) -> dict:
     ).select("query_id", "neighbor_id")
     lsh_rec = exact.join(lsh, ["query_id", "neighbor_id"]).count() / max(n_exact, 1)
     ivf_rec = exact.join(ivf, ["query_id", "neighbor_id"]).count() / max(n_exact, 1)
+
+    # Recall/latency CURVES along each operator's quality knob — one
+    # recorded point is a draw; the curve is the engineering artifact
+    # (does the knob actually buy recall, and at what cost?). IVF:
+    # query-side multi-probe (n_probe cells of 8). LSH: more
+    # independent hash tables (union of bucket equi-joins).
+    ivf_curve = {}
+    for np_ in (1, 2, 4):
+        t0 = time.time()
+        got = S.ivf_topk(
+            emb, queries, k=k, n_centroids=8, n_probe=np_, n_iters=5
+        ).select("query_id", "neighbor_id")
+        rec = exact.join(got, ["query_id", "neighbor_id"]).count() / max(n_exact, 1)
+        ivf_curve[f"n_probe={np_}"] = {"recall": round(rec, 3),
+                                       "sec": round(time.time() - t0, 3)}
+    lsh_curve = {}
+    for nt in (4, 8, 16):
+        t0 = time.time()
+        got = S.lsh_topk(
+            emb, queries, k=k, n_planes=4, n_tables=nt
+        ).select("query_id", "neighbor_id")
+        rec = exact.join(got, ["query_id", "neighbor_id"]).count() / max(n_exact, 1)
+        lsh_curve[f"n_tables={nt}"] = {"recall": round(rec, 3),
+                                       "sec": round(time.time() - t0, 3)}
     exact.unpersist()
 
     thr = 0.4  # the gate's data-fit threshold (synthetic embeddings
@@ -429,6 +453,8 @@ def ann_recall_metrics(spark) -> dict:
         "neardup_threshold": thr,
         "neardup_exact_pairs": n_pairs,
         "neardup_pair_recall": round(pair_rec, 3),
+        "ivf_recall_curve": ivf_curve,
+        "lsh_recall_curve": lsh_curve,
     }
 
 
