@@ -944,6 +944,22 @@ def _query_variance_section() -> str:
     return "\n".join(lines)
 
 
+def _phase_label(out) -> str:
+    """Classify one invocation's host phase from its own per-pair
+    burner controls: all >= 0.95 healthy, none >= 0.95 degraded."""
+    ppr = out.get("per_pair_raw") or []
+    if not ppr:
+        return "unclassified (no per-pair controls recorded)"
+    n_ok = sum(1 for c in ppr if c >= 0.95)
+    if n_ok == len(ppr):
+        return "HEALTHY (all pairs enter the healthy-control pool)"
+    if n_ok == 0:
+        return ("DEGRADED — steal-affected; no pair enters the "
+                "healthy-control pool")
+    return (f"MIXED — {n_ok}/{len(ppr)} pairs healthy; only those "
+            "enter the healthy-control pool")
+
+
 def _write_baseline_md(lo, hi, n, n_batches, out, raw):
     thr_lo = out["throughput"][f"local[{lo}]"]
     thr_hi = out["throughput"][f"local[{hi}]"]
@@ -964,6 +980,14 @@ two parallelism levels on the same deterministic input.
 **Scaling efficiency ({lo}→{hi} cores): {eff:.3f}** (target >= 0.8) —
 median of per-pair efficiencies {out['per_pair_efficiency']}, each
 pair's two legs measured BACK-TO-BACK inside one host phase.
+
+Latest-invocation host phase (per-pair burner controls
+{out.get('per_pair_raw', [])}, healthy = control >= 0.95):
+**{_phase_label(out)}**. Single invocations are draws from the
+host-phase distribution; the authoritative number is the pooled
+per-configuration estimator in "Every interleaved run" below,
+which aggregates every pair ever measured and separately reports
+the healthy-control subset.
 
 **Host ceiling (measured concurrently with pure-CPU burner
 processes, no Spark):** raw {lo}→{hi} process scaling on this VM =
