@@ -78,6 +78,11 @@ def main():
     )
     print(f"ingested {n:,} events / {len(recs)} batches in {ingest_s:.1f}s "
           f"= {n/ingest_s:,.0f} ev/s (pipelined depth 4, {mode_note})")
+    # staged input is fully consumed; free its tmpfs footprint before
+    # rebucket temporarily doubles the table's (the final oracle
+    # regenerates the stream from changegen, not from these files)
+    import shutil
+    shutil.rmtree(f"{root}/in", ignore_errors=True)
     times = sorted((c.committed_at, c.batch_id) for c in t.manifest.commits)
     gaps = [round(b[0] - a[0], 2) for a, b in zip(times, times[1:])]
     print(f"commit-to-commit gaps (flat = metadata cost not growing): {gaps}")
