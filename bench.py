@@ -374,8 +374,8 @@ def ann_recall_metrics(spark) -> dict:
     metric next to the timings (a speedup that silently trades recall
     away is invisible without this). Uses the GATE queries' own
     parameters (queries/data.py): k=5, the 4-plane × 8-table LSH
-    default, 8-centroid 2-probe IVF, the sf-fit 0.4 near-dup
-    threshold.
+    default, 8-centroid 4-probe IVF (the measured knee of the
+    recall/latency curve below), the sf-fit 0.4 near-dup threshold.
 
     - ``lsh_topk_recall`` / ``ivf_topk_recall``: fraction of exact
       brute-force top-k (query_id, neighbor_id) edges the approximate
@@ -394,7 +394,7 @@ def ann_recall_metrics(spark) -> dict:
     n_exact = exact.count()
     lsh = S.lsh_topk(emb, queries, k=k).select("query_id", "neighbor_id")
     ivf = S.ivf_topk(
-        emb, queries, k=k, n_centroids=8, n_probe=2, n_iters=5
+        emb, queries, k=k, n_centroids=8, n_probe=4, n_iters=5
     ).select("query_id", "neighbor_id")
     lsh_rec = exact.join(lsh, ["query_id", "neighbor_id"]).count() / max(n_exact, 1)
     ivf_rec = exact.join(ivf, ["query_id", "neighbor_id"]).count() / max(n_exact, 1)
