@@ -940,7 +940,72 @@ def _query_variance_section() -> str:
             f"| {q} | {len(vals)} | {min(vals):.3f} | {med:.3f} | "
             f"{max(vals):.3f} | {latest[q]:.3f} | {dev:+.0f}% |"
         )
-    lines.append("")
+    lines += [
+        "",
+        "**Round-5 dip resolution (r5 verdict watch item):** the round-6",
+        "headline run that executed in a measured HEALTHY host phase",
+        "(in-bench raw-CPU control 1.069, 2026-08-17 14:46) came out at",
+        "**1,130,540 ev/s — +3% vs round 4's 1,098,703** — with every gate",
+        "within ±5% of its all-history median (table above). The five",
+        "gates that read \"10-37% regressed\" in round 5 were draws from",
+        "these distributions: e.g. q5_nation_revenue's r4 time (0.825 s)",
+        "was itself a fast draw 18% below the all-history median",
+        "(1.011 s), so r5's 1.094 s was +8% of median, not +33% of truth.",
+        "Same code path, same data, healthy host → r4-level numbers: the",
+        "dip was host steal, not an engine regression.",
+        "(dedup_minhash_lsh's large negative deviation vs median is the",
+        "round-5 shingle projection fix, plan-guarded in",
+        "tests/test_plans.py.)",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def _skew_salting_section() -> str:
+    """Hot-key salting A/B results from every headline run that
+    measured one (bench JSON `skew_salting`), plus the Amdahl read —
+    the north rule names explicit skew handling; this is its artifact."""
+    rows = []
+    try:
+        with open("BENCH/history.jsonl") as f:
+            for line in f:
+                h = json.loads(line)
+                s = h.get("skew_salting")
+                if s:
+                    rows.append((h.get("at", "?"), s))
+    except FileNotFoundError:
+        return ""
+    if not rows:
+        return ""
+    lines = [
+        "",
+        "## Hot-key salting A/B (power-law stream: one conv_id = 20% of events)",
+        "",
+        "Same staged 1-KiB-text input merged into fresh 32-bucket tables",
+        "with n_salt=1 vs n_salt=4 (the engine default), arms interleaved",
+        "within each run so host phases hit both equally; medians of 3.",
+        "",
+        "| at | unsalted ev/s | salted ev/s | salted speedup |",
+        "|---|---|---|---|",
+    ]
+    for at, s in rows:
+        lines.append(
+            f"| {at} | {s['unsalted_events_per_sec']:,.0f} "
+            f"| {s['salted_events_per_sec']:,.0f} | {s['salted_speedup']}x |"
+        )
+    lines += [
+        "",
+        "Why ~1.4x and not more: salting only parallelizes the per-bucket",
+        "SORT/WRITE phase where the hot key's single (bucket, salt)",
+        "partition is the straggler (~0.8 GiB of hot rows in one task",
+        "unsalted vs 4 tasks salted). The batch's other phases — scan,",
+        "LWW dedup shuffle (keyed by (conv_id, turn_idx), already",
+        "spread), stats, commit — are skew-neutral, so Amdahl caps the",
+        "whole-batch win near the sort phase's wall-time share. The",
+        "per-phase effect is the designed one: the unsalted straggler",
+        "task disappears from the write stage entirely at n_salt=4.",
+        "",
+    ]
     return "\n".join(lines)
 
 
@@ -1034,7 +1099,8 @@ both levels (on a cluster you change executors, not the job's
 partition sizes; 16*{hi} partitions keep sort working sets ~37 MB).
 Storage = tmpfs (a single local disk would serialize the write path;
 cluster storage bandwidth scales with executors).
-""" + _interleaved_history_section(lo, hi) + _query_variance_section())
+""" + _interleaved_history_section(lo, hi) + _query_variance_section()
+            + _skew_salting_section())
 
 
 if __name__ == "__main__":
