@@ -501,6 +501,7 @@ def skew_salting_metrics(spark) -> dict:
                 times[n_salt].append(time.time() - t0)
                 shutil.rmtree(f"{root}/t-{rep}-{n_salt}", ignore_errors=True)
         med = {s: statistics.median(ts) for s, ts in times.items()}
+        best = {s: min(ts) for s, ts in times.items()}
         return {
             "n_events": n,
             "hot_key_share": 0.2,
@@ -510,6 +511,11 @@ def skew_salting_metrics(spark) -> dict:
             "unsalted_events_per_sec": round(n / med[1], 1),
             "salted_events_per_sec": round(n / med[4], 1),
             "salted_speedup": round(med[1] / med[4], 2),
+            # per-arm MIN: the steal-robust estimator for a
+            # deterministic job (same rationale as scale_ladder) — a
+            # single hypervisor stall landing in one arm's 3 draws
+            # skews the median ratio in either direction
+            "salted_speedup_min_est": round(best[1] / best[4], 2),
             "rep_secs": {f"n_salt={s}": [round(x, 2) for x in ts] for s, ts in times.items()},
         }
     finally:
@@ -1087,15 +1093,27 @@ def _skew_salting_section() -> str:
         "with n_salt=1 vs n_salt=4 (the engine default), arms interleaved",
         "within each run so host phases hit both equally; medians of 3.",
         "",
-        "| at | unsalted ev/s | salted ev/s | salted speedup |",
-        "|---|---|---|---|",
+        "| at | unsalted ev/s | salted ev/s | speedup (median) | speedup (min-est) |",
+        "|---|---|---|---|---|",
     ]
     for at, s in rows:
+        mn = s.get("salted_speedup_min_est")
+        if mn is None and "rep_secs" in s:  # derive for pre-field history
+            r = s["rep_secs"]
+            mn = round(min(r["n_salt=1"]) / min(r["n_salt=4"]), 2)
+        mn_s = f"{mn}x" if mn is not None else "—"
         lines.append(
             f"| {at} | {s['unsalted_events_per_sec']:,.0f} "
-            f"| {s['salted_events_per_sec']:,.0f} | {s['salted_speedup']}x |"
+            f"| {s['salted_events_per_sec']:,.0f} | {s['salted_speedup']}x | {mn_s} |"
         )
     lines += [
+        "",
+        "The min-est column is the steal-robust read (per-arm minimum of",
+        "the 3 interleaved reps, same estimator as the scale ladder): a",
+        "single hypervisor stall landing inside one arm's draws skews the",
+        "median ratio in either direction at n=3 — e.g. the 20:23 run's",
+        "salted arm drew a 10.03 s stall rep (others 8.4/6.46), reading",
+        "1.05x by median but 1.36x by min.",
         "",
         "Why ~1.4x and not more: salting only parallelizes the per-bucket",
         "SORT/WRITE phase where the hot key's single (bucket, salt)",
