@@ -985,6 +985,36 @@ def _interleaved_history_section(lo, hi) -> str:
                 if cur_healthy else "."
             ),
         ]
+    # STEAL-ROBUST companion estimator: within one invocation, the
+    # best lo leg and best hi leg approximate that invocation's
+    # steal-free throughput at each level — host noise is strictly
+    # one-sided (steal only subtracts throughput), the same estimator
+    # logic the scale ladder and the skew-salting A/B already use. A
+    # pair RATIO amplifies a burst landing inside either leg into a
+    # 0.2-1.6 outlier; the best-leg statistic rejects it at both
+    # levels symmetrically. All invocations enter — none discarded.
+    best_leg = []
+    for r in cur:
+        pl = r.get("per_level_runs") or {}
+        lo_runs = pl.get(f"local[{lo}]")
+        hi_runs = pl.get(f"local[{hi}]")
+        if lo_runs and hi_runs:
+            best_leg.append((max(hi_runs) / max(lo_runs)) / (hi / lo))
+    if best_leg:
+        lines += [
+            "",
+            f"**Steal-robust best-leg estimator**: per invocation, the best "
+            f"local[{lo}] leg vs the best local[{hi}] leg (host noise is "
+            f"one-sided — steal only subtracts — so the max over an "
+            f"invocation's legs approximates its steal-free throughput at "
+            f"that level; same logic as the scale ladder and salting A/B "
+            f"minima). Median across all {len(best_leg)} current-config "
+            f"invocations, none discarded: "
+            f"**{statistics.median(best_leg):.3f}** "
+            f"(range {min(best_leg):.3f}-{max(best_leg):.3f} — vs the raw "
+            f"per-pair ratios' {min(cur_pairs):.2f}-{max(cur_pairs):.2f} "
+            f"spread across the same runs, degraded host eras included).",
+        ]
     lines += [
         "",
         "Per-pair outliers in BOTH directions coincide with depressed",
@@ -1223,8 +1253,37 @@ cluster storage bandwidth scales with executors).
             + _skew_salting_section())
 
 
+def main_rebaseline():
+    """Regenerate BENCH/BASELINE.md from history.jsonl (latest scaling
+    entry supplies the headline block) — lets estimator/prose changes
+    land without re-running a 30-minute measurement."""
+    last = None
+    with open("BENCH/history.jsonl") as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "per_pair_efficiency" in r and "per_level_runs" in r:
+                last = r
+    if last is None:
+        raise SystemExit("no scaling entry with per_level_runs in history")
+    lo, hi = (
+        int(k.split("[")[1].rstrip("]")) for k in sorted(
+            last["per_level_runs"], key=lambda k: int(k.split("[")[1].rstrip("]"))
+        )
+    )
+    _write_baseline_md(
+        lo, hi, last["n_events"], last["config"]["n_batches"], last,
+        last["raw_cpu_ceiling"],
+    )
+    print("BENCH/BASELINE.md regenerated from", last.get("at"))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--rebaseline" in sys.argv:
+        main_rebaseline()
     else:
         main_default()
