@@ -888,13 +888,7 @@ def main_scaling():
     _write_baseline_md(lo, hi, n, n_batches, out, raw)
 
 
-def _interleaved_history_section(lo, hi) -> str:
-    """Summarize EVERY interleaved run from history.jsonl — no run is
-    discarded (methodology-flagged rows are shown but excluded from the
-    pooled estimator). Each run's raw-CPU control lets a reader
-    separate engine scaling from host phases."""
-    import statistics
-
+def _load_scaling_runs(lo, hi) -> list:
     rows = []
     try:
         with open("BENCH/history.jsonl") as f:
@@ -907,7 +901,70 @@ def _interleaved_history_section(lo, hi) -> str:
                 if "per_pair_efficiency" in r and f"{lo}_to_{hi}" in r.get("metric", ""):
                     rows.append(r)
     except FileNotFoundError:
-        return ""
+        pass
+    return rows
+
+
+def _pair_controls(r):
+    """Each pair's own host control where recorded (newer runs);
+    the run-level control otherwise (pre-r5 history)."""
+    ppr = r.get("per_pair_raw")
+    n = len(r["per_pair_efficiency"])
+    if ppr and len(ppr) == n:
+        return ppr
+    return [r["raw_cpu_ceiling"]["raw_efficiency"]] * n
+
+
+def _scaling_estimators(lo, hi) -> dict | None:
+    """The three pooled estimators over all current-configuration
+    invocations in history.jsonl: per-pair median, healthy-control
+    per-pair median, and the per-invocation best-leg median."""
+    import statistics
+
+    counted = [
+        r for r in _load_scaling_runs(lo, hi)
+        if r.get("methodology", "interleaved-shared-jvm").startswith(
+            "interleaved-shared-jvm")
+    ]
+    cur = [
+        r for r in counted
+        if r.get("config", {}).get("n_batches", 2) >= 4
+        and r.get("config", {}).get("depth") == 2
+    ]
+    cur_pairs = [p for r in cur for p in r["per_pair_efficiency"]]
+    if not cur_pairs:
+        return None
+    cur_healthy = [
+        p
+        for r in cur
+        for p, c in zip(r["per_pair_efficiency"], _pair_controls(r))
+        if c >= 0.95
+    ]
+    best_leg = []
+    for r in cur:
+        pl = r.get("per_level_runs") or {}
+        lo_runs = pl.get(f"local[{lo}]")
+        hi_runs = pl.get(f"local[{hi}]")
+        if lo_runs and hi_runs:
+            best_leg.append((max(hi_runs) / max(lo_runs)) / (hi / lo))
+    return {
+        "pairs": cur_pairs,
+        "pairs_median": statistics.median(cur_pairs),
+        "healthy": cur_healthy,
+        "healthy_median": statistics.median(cur_healthy) if cur_healthy else None,
+        "best_leg": best_leg,
+        "best_leg_median": statistics.median(best_leg) if best_leg else None,
+    }
+
+
+def _interleaved_history_section(lo, hi) -> str:
+    """Summarize EVERY interleaved run from history.jsonl — no run is
+    discarded (methodology-flagged rows are shown but excluded from the
+    pooled estimator). Each run's raw-CPU control lets a reader
+    separate engine scaling from host phases."""
+    import statistics
+
+    rows = _load_scaling_runs(lo, hi)
     if not rows:
         return ""
     lines = [
@@ -928,20 +985,11 @@ def _interleaved_history_section(lo, hi) -> str:
         if meth.startswith("interleaved-shared-jvm"):
             counted.append(r)
 
-    def pair_controls(r):
-        """Each pair's own host control where recorded (newer runs);
-        the run-level control otherwise (pre-r5 history)."""
-        ppr = r.get("per_pair_raw")
-        n = len(r["per_pair_efficiency"])
-        if ppr and len(ppr) == n:
-            return ppr
-        return [r["raw_cpu_ceiling"]["raw_efficiency"]] * n
-
     all_pairs = [p for r in counted for p in r["per_pair_efficiency"]]
     healthy = [
         p
         for r in counted
-        for p, c in zip(r["per_pair_efficiency"], pair_controls(r))
+        for p, c in zip(r["per_pair_efficiency"], _pair_controls(r))
         if c >= 0.95
     ]
     # the ESTIMATOR pools only pairs measured under the CURRENT
@@ -959,7 +1007,7 @@ def _interleaved_history_section(lo, hi) -> str:
     cur_healthy = [
         p
         for r in cur
-        for p, c in zip(r["per_pair_efficiency"], pair_controls(r))
+        for p, c in zip(r["per_pair_efficiency"], _pair_controls(r))
         if c >= 0.95
     ]
     if all_pairs:
@@ -1179,6 +1227,26 @@ def _write_baseline_md(lo, hi, n, n_batches, out, raw):
     thr_lo = out["throughput"][f"local[{lo}]"]
     thr_hi = out["throughput"][f"local[{hi}]"]
     eff = out["value"]
+    est = _scaling_estimators(lo, hi)
+    if est:
+        bl = (
+            f", per-invocation best-leg median **{est['best_leg_median']:.3f}**"
+            if est["best_leg_median"] is not None else ""
+        )
+        hl = (
+            f"; healthy-host-control pairs only ({len(est['healthy'])}): "
+            f"**{est['healthy_median']:.3f}**"
+            if est["healthy_median"] is not None else ""
+        )
+        summary = f"""Authoritative result — pooled over every invocation of the current
+harness configuration ({len(est['pairs'])} pairs, none discarded): scaling
+efficiency {lo}→{hi} cores = **{est['pairs_median']:.3f}**{hl}{bl}
+(estimator definitions below). Any single invocation — including the
+latest one tabled next — is one draw from a host whose effective
+capacity swings ~2x on a minute scale.
+"""
+    else:
+        summary = ""
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence ({time.strftime('%Y-%m-%d %H:%M')})
@@ -1187,14 +1255,17 @@ North rule criterion: throughput scaling efficiency >= 0.8 from N to
 4N parallelism, evidenced in-sandbox by the identical ingest job at
 two parallelism levels on the same deterministic input.
 
+{summary}
+## Latest invocation
+
 | parallelism | events | all rep throughputs (ev/s) | median ev/s |
 |---|---|---|---|
 | local[{lo}] | {n:,} | {out['per_level_runs'][f'local[{lo}]']} | {thr_lo:,.0f} |
 | local[{hi}] | {n:,} | {out['per_level_runs'][f'local[{hi}]']} | {thr_hi:,.0f} |
 
-**Scaling efficiency ({lo}→{hi} cores): {eff:.3f}** (target >= 0.8) —
-median of per-pair efficiencies {out['per_pair_efficiency']}, each
-pair's two legs measured BACK-TO-BACK inside one host phase.
+This invocation's median of per-pair efficiencies: **{eff:.3f}** —
+per-pair {out['per_pair_efficiency']}, each pair's two legs measured
+BACK-TO-BACK inside one host phase.
 
 Latest-invocation host phase (per-pair burner controls
 {out.get('per_pair_raw', [])}, healthy = control >= 0.95):
