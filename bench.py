@@ -1229,21 +1229,37 @@ def _write_baseline_md(lo, hi, n, n_batches, out, raw):
     eff = out["value"]
     est = _scaling_estimators(lo, hi)
     if est:
-        bl = (
-            f", per-invocation best-leg median **{est['best_leg_median']:.3f}**"
-            if est["best_leg_median"] is not None else ""
-        )
         hl = (
-            f"; healthy-host-control pairs only ({len(est['healthy'])}): "
-            f"**{est['healthy_median']:.3f}**"
-            if est["healthy_median"] is not None else ""
+            f"**{est['healthy_median']:.3f}** over the "
+            f"{len(est['healthy'])} pairs whose own burner control showed a "
+            f"healthy host (control >= 0.95)"
+            if est["healthy_median"] is not None else "n/a"
         )
-        summary = f"""Authoritative result — pooled over every invocation of the current
-harness configuration ({len(est['pairs'])} pairs, none discarded): scaling
-efficiency {lo}→{hi} cores = **{est['pairs_median']:.3f}**{hl}{bl}
-(estimator definitions below). Any single invocation — including the
-latest one tabled next — is one draw from a host whose effective
-capacity swings ~2x on a minute scale.
+        bl = (
+            f"**{est['best_leg_median']:.3f}** "
+            f"(range {min(est['best_leg']):.2f}-{max(est['best_leg']):.2f})"
+            if est["best_leg_median"] is not None else "n/a"
+        )
+        summary = f"""Authoritative result, pooled over every invocation of the current
+harness configuration, none discarded — {lo}→{hi}-core scaling
+efficiency by three estimators (definitions below):
+
+- Healthy-host pairs (the engine-scaling estimator): {hl}. A
+  pair whose control shows hypervisor steal measures the host, not
+  the engine; this subset is the designated filter.
+- Per-invocation best-leg (steal-robust, uses every invocation):
+  {bl}.
+- All pairs, healthy and steal-degraded alike:
+  **{est['pairs_median']:.3f}** over {len(est['pairs'])} pairs — a
+  lower bound that by construction understates a steal-free
+  environment (documented below), and is additionally biased by
+  sampling time: invocations launch from this always-active build
+  box, so degraded host eras are oversampled relative to any real
+  deployment.
+
+Any single invocation — including the latest one tabled next — is
+one draw from a host whose effective capacity swings ~2x on a
+minute scale.
 """
     else:
         summary = ""
