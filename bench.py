@@ -957,6 +957,99 @@ def _scaling_estimators(lo, hi) -> dict | None:
     }
 
 
+def _corroborating_line(lo, hi) -> str:
+    """One-sentence summary of other N→4N pairs for the header block."""
+    import statistics
+    from collections import defaultdict
+
+    primary = f"{lo}_to_{hi}"
+    by_metric = defaultdict(list)
+    try:
+        with open("BENCH/history.jsonl") as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                m = r.get("metric", "")
+                if (
+                    m.startswith("scaling_efficiency_")
+                    and primary not in m
+                    and "per_pair_efficiency" in r
+                ):
+                    by_metric[m].append(r)
+    except FileNotFoundError:
+        return ""
+    if not by_metric:
+        return ""
+    bits = []
+    for m, runs in sorted(by_metric.items()):
+        plo, phi = m.replace("scaling_efficiency_", "").replace("_cores", "").split("_to_")
+        pairs = [p for r in runs for p in r["per_pair_efficiency"]]
+        bits.append(
+            f"{plo}→{phi} cores = **{statistics.median(pairs):.3f}** "
+            f"({len(pairs)} pairs)"
+        )
+    return (
+        "\n\nCorroborating N→4N pair, same harness and job, sized to stay "
+        "far below host saturation and hence steal-insulated (section "
+        "below): " + "; ".join(bits) + "."
+    )
+
+
+def _other_pairs_section(lo, hi) -> str:
+    """Corroborating N→4N pairs measured with the same harness at other
+    (lo, hi) core counts — e.g. 1→4, whose 4-core hi leg uses 1/8 of
+    the box and is therefore largely insulated from host steal."""
+    import statistics
+    from collections import defaultdict
+
+    primary = f"{lo}_to_{hi}"
+    by_metric = defaultdict(list)
+    try:
+        with open("BENCH/history.jsonl") as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                m = r.get("metric", "")
+                if (
+                    m.startswith("scaling_efficiency_")
+                    and primary not in m
+                    and "per_pair_efficiency" in r
+                ):
+                    by_metric[m].append(r)
+    except FileNotFoundError:
+        return ""
+    if not by_metric:
+        return ""
+    lines = ["", "## Corroborating N→4N pairs", ""]
+    for m, runs in sorted(by_metric.items()):
+        plo, phi = m.replace("scaling_efficiency_", "").replace("_cores", "").split("_to_")
+        pairs = [p for r in runs for p in r["per_pair_efficiency"]]
+        lines += [
+            f"{plo}→{phi} cores: pooled per-pair median "
+            f"**{statistics.median(pairs):.3f}** over {len(pairs)} pairs. "
+            f"The {phi}-core hi leg uses {int(phi)}/32 of the box — far "
+            f"below host saturation — so this pair is largely insulated "
+            f"from the hypervisor steal that dominates the {hi}-core leg's "
+            f"variance; its per-level throughputs are correspondingly "
+            f"stable run-to-run.",
+            "",
+            "| at | median eff | per-pair | per-pair raw control | per-level runs (ev/s) |",
+            "|---|---|---|---|---|",
+        ]
+        for r in runs:
+            lines.append(
+                f"| {r.get('at', '?')} | {r['value']} "
+                f"| {r['per_pair_efficiency']} | {r.get('per_pair_raw', '—')} "
+                f"| {r.get('per_level_runs', {})} |"
+            )
+        lines.append("")
+    return "\n".join(lines)
+
+
 def _interleaved_history_section(lo, hi) -> str:
     """Summarize EVERY interleaved run from history.jsonl — no run is
     discarded (methodology-flagged rows are shown but excluded from the
@@ -1259,7 +1352,7 @@ efficiency by three estimators (definitions below):
 
 Any single invocation — including the latest one tabled next — is
 one draw from a host whose effective capacity swings ~2x on a
-minute scale.
+minute scale.{_corroborating_line(lo, hi)}
 """
     else:
         summary = ""
@@ -1336,8 +1429,8 @@ both levels (on a cluster you change executors, not the job's
 partition sizes; 16*{hi} partitions keep sort working sets ~37 MB).
 Storage = tmpfs (a single local disk would serialize the write path;
 cluster storage bandwidth scales with executors).
-""" + _interleaved_history_section(lo, hi) + _query_variance_section()
-            + _skew_salting_section())
+""" + _interleaved_history_section(lo, hi) + _other_pairs_section(lo, hi)
+            + _query_variance_section() + _skew_salting_section())
 
 
 def main_rebaseline():
@@ -1351,7 +1444,12 @@ def main_rebaseline():
                 r = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if "per_pair_efficiency" in r and "per_level_runs" in r:
+            if (
+                "per_pair_efficiency" in r and "per_level_runs" in r
+                # the primary evidence pair stays 2→8 (most history);
+                # other pairs land in the corroborating section
+                and "2_to_8" in r.get("metric", "")
+            ):
                 last = r
     if last is None:
         raise SystemExit("no scaling entry with per_level_runs in history")
