@@ -986,9 +986,18 @@ def _corroborating_line(lo, hi) -> str:
     for m, runs in sorted(by_metric.items()):
         plo, phi = m.replace("scaling_efficiency_", "").replace("_cores", "").split("_to_")
         pairs = [p for r in runs for p in r["per_pair_efficiency"]]
+        best = []
+        for r in runs:
+            pl = r.get("per_level_runs") or {}
+            lo_runs = pl.get(f"local[{plo}]")
+            hi_runs = pl.get(f"local[{phi}]")
+            if lo_runs and hi_runs:
+                best.append((max(hi_runs) / max(lo_runs)) / (int(phi) / int(plo)))
         bits.append(
             f"{plo}→{phi} cores = **{statistics.median(pairs):.3f}** "
-            f"({len(pairs)} pairs)"
+            f"({len(pairs)} pairs"
+            + (f", best-leg **{statistics.median(best):.3f}**" if best else "")
+            + ")"
         )
     return (
         "\n\nCorroborating N→4N pair, same harness and job, sized to stay "
@@ -1028,14 +1037,27 @@ def _other_pairs_section(lo, hi) -> str:
     for m, runs in sorted(by_metric.items()):
         plo, phi = m.replace("scaling_efficiency_", "").replace("_cores", "").split("_to_")
         pairs = [p for r in runs for p in r["per_pair_efficiency"]]
+        best = []
+        for r in runs:
+            pl = r.get("per_level_runs") or {}
+            lo_runs = pl.get(f"local[{plo}]")
+            hi_runs = pl.get(f"local[{phi}]")
+            if lo_runs and hi_runs:
+                best.append((max(hi_runs) / max(lo_runs)) / (int(phi) / int(plo)))
+        bl = (
+            f"; per-invocation best-leg median **{statistics.median(best):.3f}**"
+            if best else ""
+        )
         lines += [
             f"{plo}→{phi} cores: pooled per-pair median "
-            f"**{statistics.median(pairs):.3f}** over {len(pairs)} pairs. "
+            f"**{statistics.median(pairs):.3f}** over {len(pairs)} pairs{bl}. "
             f"The {phi}-core hi leg uses {int(phi)}/32 of the box — far "
-            f"below host saturation — so this pair is largely insulated "
-            f"from the hypervisor steal that dominates the {hi}-core leg's "
-            f"variance; its per-level throughputs are correspondingly "
-            f"stable run-to-run.",
+            f"below host saturation — so it is largely steal-insulated; "
+            f"the 1-core lo leg, pinned to a single vCPU for minutes, is "
+            f"the exposed one, and a steal burst there inflates ratios "
+            f"ABOVE 1.0 (visible in the per-level runs below). The "
+            f"best-leg estimator rejects that symmetrically, exactly as "
+            f"for the primary pair.",
             "",
             "| at | median eff | per-pair | per-pair raw control | per-level runs (ev/s) |",
             "|---|---|---|---|---|",
