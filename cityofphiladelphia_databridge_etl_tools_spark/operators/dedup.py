@@ -35,8 +35,16 @@ def tokens(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per document.
+def doc_shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingles): each document's DISTINCT k-shingle set as ONE
+    array row — the no-shuffle form of :func:`doc_shingles` (exploding
+    this is exactly that operator's output). Shingle sets are per-doc,
+    so ``array_distinct`` inside the row replaces a corpus-wide
+    ``.distinct()`` exchange; keeping the set as an array also lets
+    signature computation (:func:`minhash_band_signatures`) and size
+    lookups run as pure column expressions with no groupBy.
 
     The token array is materialized behind a PROJECTION BOUNDARY
     before the shingle lambda touches it: inlining ``split()`` into
@@ -49,12 +57,39 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
     sh = F.when(
         F.size("t") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - (k - 1)),
-            lambda i: F.array_join(F.slice(F.col("t"), i, k), " "),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                lambda i: F.array_join(F.slice(F.col("t"), i, k), " "),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return toks.select("id", F.explode(sh).alias("shingle")).distinct()
+    return toks.select("id", sh.alias("shingles"))
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per document. (id, shingle) can
+    only repeat WITHIN a document, so a per-row ``array_distinct``
+    yields the same row set as a global ``.distinct()`` — without its
+    corpus-wide exchange. The shingle expression is inlined into the
+    explode (NOT layered over :func:`doc_shingle_arrays`): an extra
+    projection boundary lets InferFiltersFromGenerate push a
+    ``size(...) > 0`` filter clone of the whole shingle subtree down
+    to the scan, re-evaluating split+transform per row (the plan test
+    counts ``split(`` occurrences to pin this)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("t")
+    )
+    sh = F.when(
+        F.size("t") >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                lambda i: F.array_join(F.slice(F.col("t"), i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("id", F.explode(sh).alias("shingle"))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -102,6 +137,53 @@ def minhash_signatures(
     )
 
 
+def minhash_band_array(
+    shingles_col: str | F.Column = "shingles",
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+) -> F.Column:
+    """Column expression: the banded min-hash signature of a shingle
+    ARRAY as ``array<struct<band:int, sig:string>>`` — min-hash =
+    ``array_min`` of the per-shingle salted md5s, a pure projection
+    with no aggregation. Same hash family and band/sig encoding as
+    :func:`minhash_signatures` (min over the same shingle set)."""
+    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+
+    def band_sig(b: int) -> F.Column:
+        return F.concat_ws("|", *[
+            F.concat_ws(
+                ":", F.lit(str(r)),
+                F.array_min(F.transform(
+                    c, lambda s: F.md5(F.concat_ws("_", F.lit(b), F.lit(r), s))
+                )),
+            )
+            for r in range(rows_per_band)
+        ])
+
+    return F.array(*[
+        F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+        for b in range(n_bands)
+    ])
+
+
+def minhash_band_signatures(
+    sh_arrays: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band, sig) — :func:`minhash_signatures` computed from
+    per-doc shingle ARRAYS (:func:`doc_shingle_arrays`) instead of
+    exploded rows: the whole signature stage is a projection
+    (:func:`minhash_band_array`), so it needs NO exchange where the
+    aggregate path pays a groupBy shuffle over every shingle row.
+    Docs with empty shingle sets emit no signature rows (same as the
+    aggregate path, where they have no rows to aggregate)."""
+    bands = minhash_band_array("shingles", n_bands, rows_per_band)
+    return (
+        sh_arrays.filter(F.size("shingles") > 0)
+        .select("id", F.explode(bands).alias("x"))
+        .select("id", "x.band", "x.sig")
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """Docs sharing any band signature → candidate pairs (a < b).
 
@@ -121,6 +203,7 @@ def jaccard_pairs(
     sh: DataFrame,
     max_doc_freq: "int | None | object" = _UNSET,
     pairs: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle (optionally
     restricted to given candidate ``pairs``). ``max_doc_freq`` drops
@@ -137,19 +220,30 @@ def jaccard_pairs(
        :data:`DEFAULT_MAX_DOC_FREQ` (10_000). Callers with legitimate
        shingle document frequencies above 10⁴ who need exact
        intersections there must now pass ``max_doc_freq=None`` (or a
-       larger cap) explicitly."""
+       larger cap) explicitly.
+
+    ``sizes``: optional precomputed (id, sz) per-doc shingle counts —
+    :func:`doc_shingle_arrays` callers get them as ``size(shingles)``
+    for free, skipping this function's groupBy over every shingle row.
+    Must cover every id that can appear in a returned pair."""
     if max_doc_freq is _UNSET:
         max_doc_freq = DEFAULT_MAX_DOC_FREQ
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     join_sh = sh
     if max_doc_freq is not None:
-        rare = (
+        # the cap keeps shingles with df <= max_doc_freq ≡ DROPS the
+        # (tiny, usually empty) ubiquitous set with df > cap. An
+        # anti-join against that small set broadcasts and never
+        # exchanges the full shingle table the way an inner join with
+        # the large "rare" complement does.
+        ubiq = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
+            .filter(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        join_sh = sh.join(rare, "shingle")
+        join_sh = sh.join(ubiq, "shingle", "left_anti")
     if pairs is not None:
         # verify-only-candidates: semi-join each side down to docs that
         # appear in a candidate pair BEFORE the shingle self-join — the

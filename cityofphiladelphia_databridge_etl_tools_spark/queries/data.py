@@ -51,25 +51,76 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 def _minhash_verified_pairs(docs):
     """Shared MinHash-LSH verified-pairs pipeline (pairs + clusters +
-    corpus gates): the shingle set and the candidate pairs feed
-    MULTIPLE downstream joins, so both are materialized once with
-    localCheckpoint — without it Catalyst re-executes the shingle
-    explode + distinct and the whole signature/band subtree per
-    consumer (measured 5.4 s → ~2.5 s at sf0.1). Checkpoint size is
-    bounded: shingles are O(corpus tokens), candidates O(near-dup
-    pairs)."""
-    sh = D.doc_shingles(docs).localCheckpoint()
-    sig = D.minhash_signatures(sh, n_bands=4, rows_per_band=2)
+    corpus gates), array-form (round 7): per-doc DISTINCT shingle
+    ARRAYS are the working set, so the signature stage (array_min of
+    salted md5s), the banded signatures, and the per-doc sizes are
+    all pure column expressions — the aggregate path's corpus-wide
+    distinct + groupBy exchanges disappear, and the first shuffle in
+    the whole pipeline is the (band, sig) candidate self-join. ONE
+    localCheckpoint materializes (shingles, band sigs) together —
+    every downstream consumer (candidate join sides ×2, verify
+    explode, sizes) reads the in-memory partitions instead of
+    re-running the shingle/md5 subtree, which is the stage's real
+    cost. The repartition before the checkpoint spreads that md5 work
+    over the cluster (a small corpus arrives as one scan split).
+    Checkpoint size is bounded: arrays are O(corpus tokens),
+    candidates O(near-dup pairs)."""
+    combined = (
+        D.doc_shingle_arrays(docs)
+        .repartition(F.col("id"))
+        .withColumn("_bands", D.minhash_band_array("shingles", n_bands=4, rows_per_band=2))
+        .localCheckpoint()
+    )
+    sig = (
+        combined.filter(F.size("shingles") > 0)
+        .select("id", F.explode("_bands").alias("x"))
+        .select("id", "x.band", "x.sig")
+    )
     cand = D.lsh_candidate_pairs(sig).localCheckpoint()
-    return sh, D.jaccard_pairs(sh, pairs=cand).filter(F.col("jaccard") >= 0.3)
+    # Verify WITHOUT the shingle self-join: attach each side's shingle
+    # array to the candidate pair (two equi-joins — AQE broadcasts the
+    # small side) and count the intersection as a column expression.
+    # Exactness vs jaccard_pairs: arrays are per-doc DISTINCT, so
+    # size(array_intersect) == the self-join's per-pair common count,
+    # and array_except(·, ubiq) == dropping df>cap shingles from BOTH
+    # join sides; denominators use the FULL sizes either way. Pairs
+    # with an empty capped intersection get jaccard 0 and are filtered
+    # exactly like pairs the self-join never produced.
+    sh = combined.select("id", F.explode("shingles").alias("shingle"))
+    ubiq_arr = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > D.DEFAULT_MAX_DOC_FREQ)
+        .agg(F.collect_list("shingle").alias("_ubiq"))
+    )
+    a = combined.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("_sh_a"),
+        F.size("shingles").alias("_sz_a"),
+    )
+    b = combined.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("_sh_b"),
+        F.size("shingles").alias("_sz_b"),
+    )
+    n_common = F.size(F.array_except(
+        F.array_intersect("_sh_a", "_sh_b"), F.coalesce("_ubiq", F.array())
+    ))
+    return (
+        cand.join(a, "id_a").join(b, "id_b").crossJoin(F.broadcast(ubiq_arr))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                n_common / (F.col("_sz_a") + F.col("_sz_b") - n_common), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
 
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: shingle → banded min-hash signatures →
     bucket join for candidates → exact Jaccard verify ≥ 0.3. The
     O(n·bands) scale path vs dedup_ngram_jaccard's O(n²)."""
-    _, pairs = _minhash_verified_pairs(_docs(spark, sf_dir))
-    return pairs
+    return _minhash_verified_pairs(_docs(spark, sf_dir))
 
 
 def dedup_simhash(spark, sf_dir):
@@ -200,7 +251,7 @@ def dedup_clusters(spark, sf_dir):
     components (min-label propagation) → per-doc cluster id + the
     keep/drop decision. The step between "pairs found" and "one
     document survives per group" that real dedup pipelines run."""
-    _, pairs = _minhash_verified_pairs(_docs(spark, sf_dir))
+    pairs = _minhash_verified_pairs(_docs(spark, sf_dir))
     cc = D.connected_components(pairs)
     return cc.select(
         F.col("id").alias("doc_id"),
@@ -595,7 +646,7 @@ def pipeline_training_corpus(spark, sf_dir):
     already-oracled operator, and the composition has its own
     end-to-end SQL oracle."""
     docs = _docs(spark, sf_dir)
-    _, pairs = _minhash_verified_pairs(docs)
+    pairs = _minhash_verified_pairs(docs)
     reps = D.keep_cluster_representatives(docs, D.connected_components(pairs))
     q = TX.quality_score(reps)
     lang = TX.lang_id(reps).select("doc_id", "predicted_lang")

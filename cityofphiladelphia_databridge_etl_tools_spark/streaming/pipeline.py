@@ -18,10 +18,62 @@ Two entry points:
 
 from __future__ import annotations
 
+import contextlib
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _stream_state_partitions(spark: SparkSession, df: DataFrame) -> int:
+    """Scale-adaptive state-store partition count for a bounded-source
+    streaming aggregation — the streaming analogue of AQE partition
+    coalescing, which does NOT apply to streaming plans (the shuffle
+    partition count is frozen into the state checkpoint at query
+    start). Derived from the SOURCE size exactly the way a batch scan
+    is split (size / maxPartitionBytes), floored at a quarter of the
+    core count (merge-heavy state ops like session_window shuffle
+    un-reduced rows, so a tiny source must still spread state work —
+    measured at sf0.1: session windows 1.45 s on 1 partition vs
+    0.87 s on cores/4, tumbling windows flat across 1..8), and capped
+    at the session's shuffle partitions so a large source behaves as
+    configured. Override with
+    ``spark.databridge.streaming.statePartitions`` (set it on real
+    clusters where state size, not source size, should govern)."""
+    override = spark.conf.get("spark.databridge.streaming.statePartitions", None)
+    if override:
+        return max(1, int(override))
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    max_bytes = int(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)).rstrip("b"))
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    floor = max(1, spark.sparkContext.defaultParallelism // 4)
+    return max(1, min(session_parts, max(floor, -(-size // max_bytes))))
+
+
+@contextlib.contextmanager
+def _stream_run_conf(spark: SparkSession, n_partitions: int):
+    """Pin shuffle partitions (= streaming state partitions) for the
+    duration of a query start, and hand out a checkpoint dir on the
+    session's spark.local.dir (the fast/ephemeral volume — memory-sink
+    complete-mode state is derived data, rebuilt from the source on
+    restart, so checkpoint durability buys nothing here). Restores the
+    session conf and removes the checkpoint afterwards."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    local_dir = spark.conf.get("spark.local.dir", None)
+    base = local_dir.split(",")[0] if local_dir else None
+    ckpt = tempfile.mkdtemp(
+        prefix="stream_ckpt_", dir=base if base and os.path.isdir(base) else None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        yield ckpt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def stream_changes_into_table(
@@ -117,10 +169,10 @@ def run_session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes
     event is >= gap after the last one (the window end is exclusive),
     so an exactly-gap-sized silence starts a new session.
     """
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(src.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -130,16 +182,18 @@ def run_session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    q = (
-        per_session.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_run_conf(spark, _stream_state_partitions(spark, src)) as ckpt:
+        q = (
+            per_session.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -155,10 +209,10 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window counts + sums per event_type over the
     events stream, with a 1-hour watermark for late data. Complete
     output mode to a memory sink → full deterministic result set."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
     name = f"hourly_counts_{uuid.uuid4().hex[:8]}"
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(src.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         # watermarks need TIMESTAMP (LTZ); session TZ is UTC so the
@@ -173,16 +227,18 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_run_conf(spark, _stream_state_partitions(spark, src)) as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
         "event_type", "n", "sum_value",
