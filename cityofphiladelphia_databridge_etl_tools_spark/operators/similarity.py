@@ -10,6 +10,8 @@ equi-join on bucket id (shuffle-partitionable, AQE-skew-safe).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -107,13 +109,42 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sign(vec_col, plane) -> F.Column:
+def _plane_coeffs(plane, dim: int) -> list[float]:
+    """The ±1 hyperplane coefficients md5(plane || '_' || d) derives —
+    computed ONCE driver-side (hashlib.md5 of the same UTF-8 string =
+    Spark's md5, first hex digit >= 8 = +1). The per-row md5 form
+    re-hashes a (plane, dim)-only value for every VECTOR — at 8
+    tables × 4 planes × 64 dims that is ~2k md5 calls per row, the
+    dominant cost of the whole LSH bucket stage."""
+    return [
+        1.0 if int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def hyperplane_sign(vec_col, plane, dim: int | None = None) -> F.Column:
     """Sign of <v, w_plane> where w_plane[d] = ±1 derived from
     md5(plane || '_' || d) — a deterministic, data-independent random
     hyperplane reproducible in any engine with md5. ``plane`` is any
-    int/str label (multi-table LSH namespaces planes per table)."""
+    int/str label (multi-table LSH namespaces planes per table).
+
+    ``dim``: when the (maximum) vector length is known, the plane is
+    embedded as a LITERAL coefficient array (see :func:`_plane_coeffs`)
+    and the per-row work drops to one multiply-add per dimension —
+    same products in the same order, bit-identical sign. Without it,
+    the md5s are evaluated per row (any-length vectors, zero jobs)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if dim is not None:
+        # one array literal, not 64 CreateArray children — literal
+        # tree size is driver-side analysis/codegen cost per query
+        w = F.lit(_plane_coeffs(plane, dim))
+        prods = F.zip_with(
+            c, F.slice(w, 1, F.size(c)), lambda x, y: x.cast("double") * y
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
     prods = F.transform(
-        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        c,
         lambda x, i: x.cast("double")
         * F.when(
             F.instr(
@@ -128,24 +159,70 @@ def hyperplane_sign(vec_col, plane) -> F.Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _max_dim(*dfs: DataFrame, vec_col: str = "embedding") -> int | None:
+    """Largest vector length across the inputs — one tiny scalar agg
+    job whose result lets every hyperplane be embedded as a literal
+    coefficient array (:func:`hyperplane_sign` ``dim``). None when the
+    inputs are empty (callers fall back to the per-row md5 path)."""
+    dims = [
+        d.select(F.max(F.size(F.col(vec_col))).alias("d")).first()["d"] for d in dfs
+    ]
+    dims = [d for d in dims if d is not None]
+    return max(dims) if dims else None
+
+
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition an UNDER-PARALLEL input across the cluster
+    before expensive per-row column work. A single-row-group parquet
+    file arrives as one scan split, serializing everything computed in
+    the scan stage; a source bigger than one split per core (the
+    normal case at scale — many files/row groups) is left alone, so no
+    full-table shuffle is ever added to a big scan. The decision reads
+    the optimized plan's size ESTIMATE — a driver-side stats lookup
+    (an ``.rdd``-based partition probe costs ~1 s of plan-to-RDD
+    conversion per call, swamping what it saves)."""
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    max_bytes = int(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)).rstrip("b"))
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size >= width * max_bytes:
+        return df
+    return df.repartition(width, F.col(key_col))
+
+
+def _bucket_bits(vec_col, n_planes: int, table: int, dim: int | None) -> F.Column:
+    """The n_planes sign bits of one hash table as an int bucket id."""
+    bucket = None
+    for p in range(n_planes):
+        label = p if table == 0 else f"t{table}p{p}"
+        bit = F.when(
+            hyperplane_sign(vec_col, label, dim=dim) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def lsh_buckets(
     vectors: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     table: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: n_planes sign bits → bucket id (one hash
     table; ``table`` namespaces the planes so multiple independent
     tables can be built). Vectors in the same bucket are ANN
-    candidates; search becomes a bucket equi-join, not a cross join."""
-    bucket = None
-    for p in range(n_planes):
-        label = p if table == 0 else f"t{table}p{p}"
-        bit = F.when(hyperplane_sign(vec_col, label) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    candidates; search becomes a bucket equi-join, not a cross join.
+    ``dim`` (the max vector length) turns the plane md5s into literal
+    coefficients — see :func:`hyperplane_sign`; resolved with one
+    scalar job when not given."""
+    if dim is None:
+        dim = _max_dim(vectors, vec_col=vec_col)
     return vectors.select(
-        F.col(id_col).alias("vec_id_out"), bucket.cast("int").alias("bucket")
+        F.col(id_col).alias("vec_id_out"),
+        _bucket_bits(vec_col, n_planes, table, dim).alias("bucket"),
     ).withColumnRenamed("vec_id_out", id_col)
 
 
@@ -159,18 +236,32 @@ def _bucket_candidates(
 ) -> DataFrame:
     """(query_id, neighbor_id) pairs sharing a bucket in ANY of the
     n_tables hash tables — multi-probe union lifts recall from r to
-    1-(1-r)^L while candidate cost stays a union of equi-joins."""
-    out = None
-    for tbl in range(n_tables):
-        vb = lsh_buckets(vectors, n_planes, id_col, vec_col, table=tbl).select(
-            F.col(id_col).alias("neighbor_id"), "bucket"
-        )
-        qb = lsh_buckets(queries, n_planes, id_col, vec_col, table=tbl).select(
-            F.col(id_col).alias("query_id"), "bucket"
-        )
-        cand = qb.join(vb, "bucket").select("query_id", "neighbor_id")
-        out = cand if out is None else out.unionAll(cand)
-    return out.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    1-(1-r)^L while candidate cost stays an equi-join. All tables'
+    buckets are computed in ONE pass per side (an exploded
+    (table, bucket) array — one scan instead of n_tables, spread over
+    the cluster when the input is a single split) and the per-table
+    union-of-joins collapses into one equi-join on (table, bucket):
+    the same candidate multiset, n_tables× fewer joins. The vector
+    dimension is resolved once so all n_tables × n_planes hyperplanes
+    compile to literal coefficient arrays."""
+    dim = _max_dim(vectors, queries, vec_col=vec_col)
+
+    def all_buckets(df: DataFrame, out_id: str) -> DataFrame:
+        entries = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_bits(vec_col, n_planes, t, dim).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+        return _spread(df, id_col).select(
+            F.col(id_col).alias(out_id), F.explode(entries).alias("x")
+        ).select(out_id, "x.tbl", "x.bucket")
+
+    vb = all_buckets(vectors, "neighbor_id")
+    qb = all_buckets(queries, "query_id")
+    cand = qb.join(vb, ["tbl", "bucket"]).select("query_id", "neighbor_id")
+    return cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
 
 
 def lsh_topk(
