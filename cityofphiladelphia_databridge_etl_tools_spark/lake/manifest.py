@@ -286,7 +286,13 @@ def _fold_lsn_windows(
     """Advance the structural lsn cursor with newly committed window
     ids: extend the contiguous prefix, park out-of-order windows in
     ``pending``, and drain pending as gaps fill. O(pending) per call;
-    pending is bounded by the ingest pipeline depth."""
+    pending is bounded by the ingest pipeline depth for a single
+    logical stream — under SHARDED ingest (several runners pinned to
+    disjoint ``from_lsn`` ranges) a leading shard's windows sit in
+    pending until the lagging shard fills the gap, so the bound is
+    pipeline_depth × the shard lead (each entry is two ints,
+    serialized into every delta/snapshot — keep shard skew modest or
+    fence laggards)."""
     pend = [list(w) for w in pending]
     for bid in new_ids:
         w = _lsn_window(bid)

@@ -117,7 +117,13 @@ def deliver_batched_reliable(
     (transformation-side accumulators are at-least-once); treat them
     as approximate. The input is scanned twice (one count-only job +
     the delivery job) — cache upstream if it is expensive to
-    recompute.
+    recompute, and note the exactness contract assumes a DETERMINISTIC
+    input: a source whose rows differ between the two scans (rand(),
+    sampling, a changing table) silently skews ``sent_rows``, and with
+    a flaky sink a cache eviction between them can make the
+    dead-letter contents disagree with ``failed_rows``. Persist the
+    DataFrame itself (or stage it) when the input is not a pure
+    function of stored data.
 
     Scale shape: delivery work and retry state are per-executor (one
     Python worker per partition, Arrow-batched in); the driver only
