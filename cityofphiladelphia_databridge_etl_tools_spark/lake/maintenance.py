@@ -131,7 +131,13 @@ class CompactionScheduler:
             return False
         targets = worst if drain else worst[: self.max_buckets_per_cycle]
         try:
-            self.table.compact(buckets=targets)
+            # single attempt: compact()'s internal CAS retry re-reads
+            # and REWRITES the targets from scratch, so under active
+            # ingest a contended cycle could pay up to 3 full rewrites
+            # back-to-back; abandoning on first loss and letting the
+            # next cycle recompute reaches the same state for at most
+            # one rewrite per cycle
+            self.table.compact(buckets=targets, max_commit_retries=1)
             self.cycles += 1
             self.buckets_compacted += len(targets)
             return True

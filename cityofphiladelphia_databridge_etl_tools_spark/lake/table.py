@@ -575,7 +575,15 @@ class LakeTable:
             worst = [b for n_delta, b in over if n_delta > compact_threshold]
             if worst:
                 try:
-                    self.compact(buckets=worst[:max_auto_compact_buckets])
+                    # single attempt (see CompactionScheduler._cycle):
+                    # a lost CAS here means a concurrent pipelined
+                    # merge advanced the log — retrying would rewrite
+                    # the buckets again ON the ingest path; the next
+                    # batch re-checks the thresholds anyway
+                    self.compact(
+                        buckets=worst[:max_auto_compact_buckets],
+                        max_commit_retries=1,
+                    )
                 except ConcurrentCommitError:
                     pass  # another writer got there; next batch re-checks
         return rec
