@@ -368,7 +368,11 @@ def connected_components(
     Pass ``stats={}`` to receive {"rounds": k} back (tests assert the
     log-round bound)."""
     spark = pairs.sparkSession
-    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # materialize the (tiny) pair list ONCE: edges and nodes both
+    # derive from it, and without this the entire upstream pair
+    # pipeline (e.g. the MinHash-LSH candidate + verify dataflow)
+    # executes twice — once per localCheckpoint below
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint()
     edges = raw.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
     # every node that appears in any pair — taken from the RAW pairs so a
     # node present only in self-pairs (a == b) still emits a singleton

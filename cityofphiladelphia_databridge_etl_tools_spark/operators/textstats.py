@@ -39,11 +39,10 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality features: length, mean token length, stopword
-    ratio, and a composite score. Mirrors the common pretraining-data
-    quality filters (Gopher/C4-style rules)."""
-    t = F.col(text_col)
+def _quality_exprs(t) -> dict[str, F.Column]:
+    """The quality-feature column expressions over a text column —
+    shared by :func:`quality_score` and :func:`quality_lang` so the
+    fused one-pass form is identical by construction."""
     n_tokens = F.size(F.split(t, " "))
     n_chars = F.length(t)
     stop_hits = None
@@ -58,20 +57,17 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         ),
         4,
     )
-    return docs.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        mean_tok_len.alias("mean_token_len"),
-        score.alias("quality_score"),
-    )
+    return {
+        "n_tokens": n_tokens,
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_tok_len,
+        "quality_score": score,
+    }
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """N-gram(word)-marker language heuristic: argmax of marker-token
-    hits, ties broken by a fixed language order, 'und' (undetermined)
-    when nothing hits."""
-    t = F.col(text_col)
+def _predicted_lang(t) -> F.Column:
+    """Marker-hit argmax with fixed precedence (shared expression
+    builder — see :func:`_quality_exprs`)."""
     scores = {lang: None for lang in LANG_MARKERS}
     for lang, words in LANG_MARKERS.items():
         s = None
@@ -86,7 +82,43 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         cond = scores[lang] > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return docs.select(F.col(id_col), F.col("lang").alias("labeled_lang"), best.alias("predicted_lang"))
+    return best
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, mean token length, stopword
+    ratio, and a composite score. Mirrors the common pretraining-data
+    quality filters (Gopher/C4-style rules)."""
+    q = _quality_exprs(F.col(text_col))
+    return docs.select(
+        F.col(id_col), *[expr.alias(name) for name, expr in q.items()]
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram(word)-marker language heuristic: argmax of marker-token
+    hits, ties broken by a fixed language order, 'und' (undetermined)
+    when nothing hits."""
+    return docs.select(
+        F.col(id_col),
+        F.col("lang").alias("labeled_lang"),
+        _predicted_lang(F.col(text_col)).alias("predicted_lang"),
+    )
+
+
+def quality_lang(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """quality_score + predicted_lang in ONE projection pass — for
+    composed pipelines that otherwise self-join the two operators'
+    outputs on the id (two scans of the same input + a join for
+    column expressions that are independent per row). Exactly the
+    same expressions as the two operators (shared builders)."""
+    t = F.col(text_col)
+    q = _quality_exprs(t)
+    return docs.select(
+        F.col(id_col),
+        *[expr.alias(name) for name, expr in q.items()],
+        _predicted_lang(t).alias("predicted_lang"),
+    )
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -76,7 +76,11 @@ def _minhash_verified_pairs(docs):
         .select("id", F.explode("_bands").alias("x"))
         .select("id", "x.band", "x.sig")
     )
-    cand = D.lsh_candidate_pairs(sig).localCheckpoint()
+    # NOT checkpointed: with the array-based verify the candidate set
+    # has exactly ONE consumer, so a materialization barrier would
+    # only serialize the pipeline into an extra job (the pre-r7 shape
+    # consumed it three times and needed one)
+    cand = D.lsh_candidate_pairs(sig)
     # Verify WITHOUT the shingle self-join: attach each side's shingle
     # array to the candidate pair (two equi-joins — AQE broadcasts the
     # small side) and count the intersection as a column expression.
@@ -648,10 +652,11 @@ def pipeline_training_corpus(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = _minhash_verified_pairs(docs)
     reps = D.keep_cluster_representatives(docs, D.connected_components(pairs))
-    q = TX.quality_score(reps)
-    lang = TX.lang_id(reps).select("doc_id", "predicted_lang")
+    # one projection pass computes quality AND language (identical
+    # expressions via the shared builders) — the former
+    # quality_score ⋈ lang_id self-join scanned reps twice
     return (
-        q.join(lang, "doc_id")
+        TX.quality_lang(reps)
         .filter((F.col("quality_score") >= 0.2) & (F.col("predicted_lang") != "und"))
         .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
     )
